@@ -1,0 +1,184 @@
+"""MatrixMarket triplet access over BGZF files.
+
+Reimplements the visitor semantics of the reference's streaming parsers
+(reference: include/mmutil_bgzf_util.hh — ``peek_bgzf_header`` :155-251,
+``visit_bgzf`` :255-437, ``visit_bgzf_block`` :53-151) as vectorized
+numpy parsing: a whole decompressed byte range is tokenized at once
+instead of per-character FSM parsing.  The native extension
+(csrc/mmvae_io.cc) provides the same functions with a C++ inner loop;
+``mmvae_tpu.io.native`` transparently dispatches to it.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import numpy as np
+
+from .bgzf import BgzfReader
+
+# Virtual offset 0 doubles as the reference's LAST_POS/MISSING_POS
+# sentinel (include/mmutil_bgzf_util.hh:17-18): an end position of 0
+# means "read to end of file".
+LAST_POS = 0
+
+
+@dataclass(frozen=True)
+class MtxHeader:
+    rows: int
+    cols: int
+    nnz: int
+
+
+def _parse_text_triplets(
+    text: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse ``row col value`` lines into 0-based numpy triplet arrays.
+
+    Tolerates comment lines (leading ``%``) and incomplete lines, which
+    the reference skips with a warning (mmutil_bgzf_util.hh:104-136).
+    """
+    lines = text.split(b"\n")
+    rows, cols, vals = [], [], []
+    for ln in lines:
+        if not ln or ln[0] == 0x25:  # '%'
+            continue
+        parts = ln.split()
+        if len(parts) < 3:
+            continue
+        rows.append(int(parts[0]))
+        cols.append(int(parts[1]))
+        vals.append(float(parts[2]))
+    return (
+        np.asarray(rows, dtype=np.int64) - 1,
+        np.asarray(cols, dtype=np.int64) - 1,
+        np.asarray(vals, dtype=np.float32),
+    )
+
+
+def _fast_parse_clean(text: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Vectorized parse assuming no comments/short lines; None on doubt."""
+    if b"%" in text:
+        return None
+    try:
+        flat = np.fromstring(text.replace(b"\n", b" "), dtype=np.float64, sep=" ")  # noqa: NPY201
+    except Exception:
+        return None
+    if flat.size % 3 != 0:
+        return None
+    flat = flat.reshape(-1, 3)
+    return (
+        flat[:, 0].astype(np.int64) - 1,
+        flat[:, 1].astype(np.int64) - 1,
+        flat[:, 2].astype(np.float32),
+    )
+
+
+def parse_triplet_text(text: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        out = _fast_parse_clean(text)
+    if out is not None:
+        return out
+    return _parse_text_triplets(text)
+
+
+def peek_mtx_header(path: str | os.PathLike) -> MtxHeader:
+    """Read only the ``rows cols nnz`` size line of a bgzipped .mtx.
+
+    Reference: ``peek_bgzf_header`` + ``mm_info_reader_t``
+    (include/mmutil_bgzf_util.hh:155-251, include/mmutil_index.hh:109-132).
+    """
+    with BgzfReader(path) as r:
+        while True:
+            ln = r.readline()
+            if ln is None:
+                raise ValueError(f"{path}: no MatrixMarket header found")
+            if not ln or ln.startswith(b"%"):
+                continue
+            parts = ln.split()
+            if len(parts) == 3:
+                return MtxHeader(int(parts[0]), int(parts[1]), int(parts[2]))
+
+
+def header_end_voffset(path: str | os.PathLike) -> int:
+    """Virtual offset of the first data line (right after the header)."""
+    with BgzfReader(path) as r:
+        while True:
+            ln = r.readline()
+            if ln is None:
+                raise ValueError(f"{path}: no MatrixMarket header found")
+            if not ln or ln.startswith(b"%"):
+                continue
+            if len(ln.split()) == 3:
+                return r.tell_voffset()
+
+
+def visit_mtx_triplets(
+    path: str | os.PathLike,
+) -> Iterator[tuple[int, int, float, int]]:
+    """Stream ``(row0, col0, value, voffset_after_line)`` over the file.
+
+    The trailing element is ``bgzf_tell`` *after* the line was consumed,
+    i.e. the virtual offset of the start of the next line — the quantity
+    the column indexer records (include/mmutil_index.hh:83).
+    Reference: ``visit_bgzf`` (include/mmutil_bgzf_util.hh:255-437).
+    """
+    with BgzfReader(path) as r:
+        # skip to past the header
+        while True:
+            ln = r.readline()
+            if ln is None:
+                return
+            if not ln or ln.startswith(b"%"):
+                continue
+            if len(ln.split()) == 3:
+                break
+        while True:
+            ln = r.readline()
+            if ln is None:
+                return
+            if not ln or ln.startswith(b"%"):
+                continue
+            parts = ln.split()
+            if len(parts) < 3:
+                continue
+            yield (
+                int(parts[0]) - 1,
+                int(parts[1]) - 1,
+                float(parts[2]),
+                r.tell_voffset(),
+            )
+
+
+def read_mtx_block(
+    path: str | os.PathLike,
+    beg_voffset: int,
+    end_voffset: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Triplets in the virtual-offset range ``[beg, end)`` as 0-based arrays.
+
+    ``end_voffset == LAST_POS`` (0) reads to end of file.  Matching the
+    reference (include/mmutil_bgzf_util.hh:102-144), reading stops after
+    the first line whose post-read offset is >= ``end_voffset``, so the
+    line straddling ``end`` is included.
+    """
+    with BgzfReader(path) as r:
+        r.seek_voffset(beg_voffset)
+        if end_voffset == LAST_POS:
+            text = r.read_all()
+        else:
+            chunks = []
+            while True:
+                ln = r.readline()
+                if ln is None:
+                    break
+                chunks.append(ln)
+                if r.tell_voffset() >= end_voffset:
+                    break
+            text = b"\n".join(chunks)
+    return parse_triplet_text(text)

@@ -1,0 +1,179 @@
+"""ctypes bridge to the native IO extension (csrc/mmvae_io.cc).
+
+Loads ``_native.so`` from the package directory, building it with g++ on
+first use if the toolchain is available.  Every entry point has a
+pure-Python fallback in ``mmvae_tpu.io.mtx`` / ``.index``; callers use
+:func:`available` to pick the path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "_native.so")
+_SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "csrc", "mmvae_io.cc")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_i64 = ctypes.c_int64
+_pi64 = ctypes.POINTER(ctypes.c_int64)
+_pf32 = ctypes.POINTER(ctypes.c_float)
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-shared",
+             _SRC, "-lz", "-o", _SO],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            if not _build() and not os.path.exists(_SO):
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+
+        lib.mmvae_free.argtypes = [ctypes.c_void_p]
+        lib.mmvae_free.restype = None
+        lib.mmvae_peek_header.argtypes = [ctypes.c_char_p, _pi64]
+        lib.mmvae_peek_header.restype = ctypes.c_int
+        lib.mmvae_build_index.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(_pi64),
+            ctypes.POINTER(_pi64),
+        ]
+        lib.mmvae_build_index.restype = _i64
+        lib.mmvae_read_block.argtypes = [
+            ctypes.c_char_p, _i64, _i64,
+            ctypes.POINTER(_pi64), ctypes.POINTER(_pi64),
+            ctypes.POINTER(_pf32),
+        ]
+        lib.mmvae_read_block.restype = _i64
+        lib.mmvae_read_batch.argtypes = [
+            ctypes.c_char_p,
+            _pi64, _pi64, _i64,        # begs, ends, nblocks
+            _pi64, _i64,               # ucols, nu
+            _pi64, _pi64,              # dup_start, dup_flat
+            _i64, _pf32,               # D, out
+        ]
+        lib.mmvae_read_batch.restype = _i64
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def peek_header(path: str) -> tuple[int, int, int]:
+    lib = _load()
+    dims = (ctypes.c_int64 * 3)()
+    rc = lib.mmvae_peek_header(os.fspath(path).encode(), dims)
+    if rc != 0:
+        raise IOError(f"native peek_header failed for {path}")
+    return int(dims[0]), int(dims[1]), int(dims[2])
+
+
+def build_index(path: str) -> list[tuple[int, int]]:
+    lib = _load()
+    cols_p = _pi64()
+    voffs_p = _pi64()
+    n = lib.mmvae_build_index(
+        os.fspath(path).encode(), ctypes.byref(cols_p), ctypes.byref(voffs_p)
+    )
+    if n == -2:
+        raise ValueError("MTX must be sorted by columns")
+    if n < 0:
+        raise IOError(f"native build_index failed for {path}")
+    try:
+        cols = np.ctypeslib.as_array(cols_p, shape=(n,)).copy()
+        voffs = np.ctypeslib.as_array(voffs_p, shape=(n,)).copy()
+    finally:
+        lib.mmvae_free(cols_p)
+        lib.mmvae_free(voffs_p)
+    return list(zip(cols.tolist(), voffs.tolist()))
+
+
+def read_block(
+    path: str, beg: int, end: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    lib = _load()
+    rows_p, cols_p, vals_p = _pi64(), _pi64(), _pf32()
+    n = lib.mmvae_read_block(
+        os.fspath(path).encode(), beg, end,
+        ctypes.byref(rows_p), ctypes.byref(cols_p), ctypes.byref(vals_p),
+    )
+    if n < 0:
+        raise IOError(f"native read_block failed for {path}")
+    try:
+        if n == 0:
+            return (
+                np.zeros(0, np.int64),
+                np.zeros(0, np.int64),
+                np.zeros(0, np.float32),
+            )
+        rows = np.ctypeslib.as_array(rows_p, shape=(n,)).copy()
+        cols = np.ctypeslib.as_array(cols_p, shape=(n,)).copy()
+        vals = np.ctypeslib.as_array(vals_p, shape=(n,)).copy()
+    finally:
+        lib.mmvae_free(rows_p)
+        lib.mmvae_free(cols_p)
+        lib.mmvae_free(vals_p)
+    return rows, cols, vals
+
+
+def read_batch(
+    path: str,
+    begs: np.ndarray,
+    ends: np.ndarray,
+    ucols: np.ndarray,
+    dup_start: np.ndarray,
+    dup_flat: np.ndarray,
+    out: np.ndarray,
+) -> int:
+    """Fused block-read + scatter into the (B, D) row-major batch buffer."""
+    lib = _load()
+    begs = np.ascontiguousarray(begs, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    ucols = np.ascontiguousarray(ucols, dtype=np.int64)
+    dup_start = np.ascontiguousarray(dup_start, dtype=np.int64)
+    dup_flat = np.ascontiguousarray(dup_flat, dtype=np.int64)
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    n = lib.mmvae_read_batch(
+        os.fspath(path).encode(),
+        begs.ctypes.data_as(_pi64), ends.ctypes.data_as(_pi64), len(begs),
+        ucols.ctypes.data_as(_pi64), len(ucols),
+        dup_start.ctypes.data_as(_pi64), dup_flat.ctypes.data_as(_pi64),
+        out.shape[1], out.ctypes.data_as(_pf32),
+    )
+    if n < 0:
+        raise IOError(f"native read_batch failed for {path}")
+    return int(n)

@@ -1,0 +1,131 @@
+"""Tests for the BGZF / MatrixMarket / index IO layer."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from mmvae_tpu.io import bgzf, index, mtx, native, writers
+from tests.conftest import make_count_matrix
+
+
+def test_bgzf_roundtrip(tmp_path):
+    path = str(tmp_path / "t.gz")
+    payload = b"hello world\n" * 50000  # spans multiple 64K blocks
+    w = bgzf.BgzfWriter(path)
+    w.write(payload)
+    w.close()
+    assert bgzf.is_bgzf(path)
+    # whole-file inflate equals payload
+    with bgzf.BgzfReader(path) as r:
+        assert r.read_all() == payload
+    # interop: python gzip reads multi-member bgzf
+    assert gzip.open(path, "rb").read() == payload
+
+
+def test_bgzf_voffset_seek(tmp_path):
+    path = str(tmp_path / "t.gz")
+    lines = [f"line {i} {'x' * (i % 97)}".encode() for i in range(20000)]
+    w = bgzf.BgzfWriter(path)
+    voffs = []
+    for ln in lines:
+        voffs.append(w.tell_voffset())
+        w.write(ln + b"\n")
+    w.close()
+    with bgzf.BgzfReader(path) as r:
+        for i in [0, 1, 777, 9999, 19999]:
+            r.seek_voffset(voffs[i])
+            assert r.readline() == lines[i]
+
+
+def test_bgzf_readline_tell_invariant(tmp_path):
+    """tell after readline == recorded start voffset of the next line."""
+    path = str(tmp_path / "t.gz")
+    w = bgzf.BgzfWriter(path)
+    starts = []
+    for i in range(5000):
+        starts.append(w.tell_voffset())
+        w.write(f"{i} {i * 7}\n")
+    w.close()
+    with bgzf.BgzfReader(path) as r:
+        for i in range(4999):
+            assert r.readline() is not None
+            assert r.tell_voffset() == starts[i + 1]
+
+
+def test_peek_header_and_native_agree(mtx_file):
+    path, _, dens = mtx_file
+    hdr = mtx.peek_mtx_header(path)
+    assert (hdr.rows, hdr.cols) == dens.shape
+    assert hdr.nnz == int((dens > 0).sum())
+    if native.available():
+        assert native.peek_header(path) == (hdr.rows, hdr.cols, hdr.nnz)
+
+
+def test_index_build_read(mtx_file):
+    path, idx_path, dens = mtx_file
+    tab = index.read_mmutil_index(idx_path)
+    assert len(tab) == dens.shape[1]
+    assert index.check_index_tab(path, tab)
+
+
+def test_index_python_native_agree(mtx_file):
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    path, _, _ = mtx_file
+    assert index._build_index_python(path) == native.build_index(path)
+
+
+def test_index_rejects_plain_gzip(tmp_path):
+    path = str(tmp_path / "plain.mtx.gz")
+    with gzip.open(path, "wt") as f:
+        f.write("%%MatrixMarket matrix coordinate integer general\n1 1 1\n1 1 1\n")
+    with pytest.raises(ValueError, match="not bgzipped"):
+        index.build_mmutil_index(path)
+
+
+def test_block_read_matches_dense(mtx_file, rng):
+    path, idx_path, dens = mtx_file
+    tab = index.read_mmutil_index(idx_path)
+    N = dens.shape[1]
+    for lo, hi in [(0, 3), (5, 6), (100, N)]:
+        beg = int(tab[lo])
+        end = int(tab[hi]) if hi < N else 0
+        rows, cols, vals = mtx.read_mtx_block(path, beg, end)
+        got = np.zeros((dens.shape[0], hi - lo), np.float32)
+        got[rows, cols - lo] = vals
+        assert np.array_equal(got, dens[:, lo:hi])
+        if native.available():
+            r2, c2, v2 = native.read_block(path, beg, end)
+            assert np.array_equal(rows, r2)
+            assert np.array_equal(cols, c2)
+            assert np.array_equal(vals, v2)
+
+
+def test_write_read_data_file(tmp_path, rng):
+    m = rng.normal(size=(7, 3)).astype(np.float32)
+    path = str(tmp_path / "m.gz")
+    writers.write_data_file(path, m)
+    back = writers.read_data_file(path)
+    np.testing.assert_allclose(back, m, rtol=1e-4, atol=1e-6)
+
+
+def test_write_vector_file(tmp_path):
+    path = str(tmp_path / "v.gz")
+    writers.write_vector_file(path, [1.5, 2.0, 1e6])
+    lines = writers.read_vector_file(path)
+    assert lines == ["1.5", "2", "1e+06"]  # C++ ostream default formatting
+
+
+def test_mtx_writer_is_column_sorted_and_indexable(tmp_path, rng):
+    D, N = 10, 30
+    rr, cc, vv, dens = make_count_matrix(rng, D, N)
+    # shuffle triplets; writer must re-sort by column
+    p = rng.permutation(len(vv))
+    path = str(tmp_path / "o.mtx.gz")
+    writers.write_matrix_market_file(path, rr[p], cc[p], vv[p], (D, N))
+    idx = index.build_mmutil_index(path)
+    tab = index.read_mmutil_index(idx)
+    assert len(tab) == N
+    assert index.check_index_tab(path, tab)
