@@ -1,0 +1,84 @@
+"""Throughput benchmark: NB-VAE training cells/sec/chip.
+
+North-star config (BASELINE.json): 100k-cell x 20k-gene NB-VAE, batch
+100, nboot 3, reference training protocol.  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+``vs_baseline`` is relative to the driver-defined target of 50,000
+cells/sec/chip (the reference publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from mmvae_tpu.models.nb import NBVAE
+    from mmvae_tpu.ops.losses import nb_loss
+    from mmvae_tpu.train.config import TrainingOptions
+    from mmvae_tpu.train.loop import Trainer
+
+    D = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    B = 100          # reference default batch size (mmvae.hh:35)
+    S = 50           # minibatches per dispatch
+    NBOOT = 3
+
+    model = NBVAE(data_dim=D, covar_dim=1, mean_latent=2)
+    params = model.init(jax.random.PRNGKey(0))
+
+    topt = TrainingOptions(nboot=NBOOT, superbatch=S, seed=0)
+    trainer = Trainer(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        lambda x, out, beta: nb_loss(x, out, beta),
+        topt,
+    )
+    opt_state = trainer.optimizer.init(params)
+
+    rng = np.random.default_rng(0)
+    # synthetic sparse-ish counts, one superbatch reused (bench measures
+    # the compute path; the input pipeline overlaps via prefetch in
+    # real runs)
+    x_sb = (rng.poisson(0.12, size=(S, B, D)) *
+            rng.integers(1, 6, size=(S, B, D))).astype(np.float32)
+    c_sb = np.ones((S, B, 1), np.float32)
+    x_dev = jnp.asarray(x_sb)
+    c_dev = jnp.asarray(c_sb)
+
+    # warmup / compile
+    params, opt_state, rep = trainer._step(
+        params, opt_state, x_dev, c_dev, jnp.float32(0),
+        jnp.arange(S, dtype=jnp.int32), trainer._base_key,
+    )
+    np.asarray(rep)
+
+    # timed
+    iters = 6
+    t0 = time.perf_counter()
+    for it in range(iters):
+        params, opt_state, rep = trainer._step(
+            params, opt_state, x_dev, c_dev, jnp.float32(it + 1),
+            jnp.arange(S, dtype=jnp.int32), trainer._base_key,
+        )
+    np.asarray(rep)  # sync
+    dt = time.perf_counter() - t0
+
+    cells = iters * S * B
+    cps = cells / dt
+    print(json.dumps({
+        "metric": "nbvae_train_cells_per_sec_per_chip",
+        "value": round(cps, 1),
+        "unit": "cells/sec",
+        "vs_baseline": round(cps / 50000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""``nb_vae`` — negative binomial VAE trainer CLI.
+
+Reimplements the full pipeline of the reference binary
+(src/nb_vae_main.cc:39-133): parse the three option groups, auto-build
+indexes and covariates, construct the model, train with KL annealing,
+and dump ``${out}.scores.gz`` plus per-epoch latent/parameter artifacts.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from ..models.nb import NBVAE
+from ..ops.losses import nb_loss
+from ..train.checkpoint import load_checkpoint, save_checkpoint
+from ..train.config import MMVaeOptions, TrainingOptions, _csv_ints
+from ..train.loop import make_optimizer, train_vae_model
+from ..train.recorder import LatentRecorder
+from ..io.writers import write_vector_file
+from ..utils.logging import TLOG
+from .common import add_relu_flags, compose_parsers, prepare_blocks
+
+_MODEL_DESC = r"""[Likelihood]
+
+        Gamma(x + nu)      mu           nu
+f(x) = -------------- ( ------- )^x ( ------- )^nu
+       Gamma(x+1)Gamma(nu)  mu + nu      mu + nu
+
+mu = exp(decoding(z_mu) + bias_mu)
+nu = exp(decoding(z_nu) + bias_nu)
+"""
+
+
+def _model_args(g) -> None:
+    """Reference flags: nb.hh:77-112 (with the same aliases)."""
+    g.add_argument("--mean_encoding", "--mean-encoding", type=_csv_ints,
+                   default=())
+    g.add_argument("--mean_decoding", "--mean-decoding", type=_csv_ints,
+                   default=())
+    g.add_argument("--mean_latent", "--mean-latent", type=int, default=2)
+    g.add_argument("--overdisp_encoding", "--overdisp-encoding",
+                   "--overdispersion_encoding", "--overdispersion-encoding",
+                   dest="overdisp_encoding", type=int, default=1)
+    g.add_argument("--overdisp_latent", "--overdispersion_latent",
+                   "--overdispersion-latent", dest="overdisp_latent",
+                   type=int, default=1)
+    add_relu_flags(g)
+
+
+def main(argv=None) -> int:
+    parser = compose_parsers(_MODEL_DESC, _model_args)
+    ns, _unknown = parser.parse_known_args(argv)
+
+    opts = MMVaeOptions.from_args(ns)
+    topt = TrainingOptions.from_args(ns)
+
+    data_block, covar_block = prepare_blocks(opts)
+
+    TLOG("Constructing a model")
+    model = NBVAE(
+        data_dim=data_block.nfeature(),
+        covar_dim=covar_block.nfeature(),
+        mean_encoding=tuple(ns.mean_encoding),
+        mean_decoding=tuple(ns.mean_decoding),
+        mean_latent=ns.mean_latent,
+        overdisp_encoding=ns.overdisp_encoding,
+        overdisp_latent=ns.overdisp_latent,
+        do_relu=ns.do_relu,
+    )
+    params = model.init(jax.random.PRNGKey(topt.seed))
+
+    recorder = LatentRecorder(
+        opts.out, topt.max_epoch, data_block.ntot(),
+        encode_fn=lambda p, x: model.encode_mu(p, x),
+        mean_name="mu_mean", lnvar_name="mu_lnvar",
+    )
+
+    def forward(p, x, c, key, training):
+        return model.forward(p, x, c, key, training)
+
+    start_epoch = 0
+    init_opt_state = None
+    prev_losses: list[float] = []
+    if topt.resume:
+        opt_state_tmpl = make_optimizer(topt).init(params)
+        params, init_opt_state, start_epoch, prev_losses = load_checkpoint(
+            topt.resume, params, opt_state_tmpl
+        )
+        TLOG(f"Resumed from {topt.resume} at epoch {start_epoch}")
+
+    def on_epoch_end(epoch, p, o, losses):
+        if topt.checkpoint_dir:
+            save_checkpoint(topt.checkpoint_dir, p, o, epoch, topt.seed,
+                            prev_losses + losses)
+
+    mesh = None
+    if topt.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
+    TLOG("Training the model...")
+    params, scores = train_vae_model(
+        forward, recorder, data_block, covar_block, topt,
+        lambda x, out, beta: nb_loss(x, out, beta),
+        params,
+        kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
+        mesh=mesh,
+        start_epoch=start_epoch,
+        init_opt_state=init_opt_state,
+        on_epoch_end=on_epoch_end,
+    )
+
+    write_vector_file(opts.out + ".scores.gz", prev_losses + scores)
+    TLOG("Done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

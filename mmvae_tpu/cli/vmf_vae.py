@@ -1,0 +1,110 @@
+"""``vmf_vae`` — von Mises-Fisher VAE trainer CLI.
+
+Reimplements the reference binary (src/vmf_vae_main.cc:38-127).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from ..models.vmf import VMFVAE
+from ..ops.losses import vmf_loss
+from ..train.checkpoint import load_checkpoint, save_checkpoint
+from ..train.config import MMVaeOptions, TrainingOptions, _csv_ints
+from ..train.loop import make_optimizer, train_vae_model
+from ..train.recorder import LatentRecorder
+from ..io.writers import write_vector_file
+from ..utils.logging import TLOG
+from .common import add_relu_flags, compose_parsers, prepare_blocks
+
+_MODEL_DESC = r"""Likelihood:
+f(x) = C_d(kappa) exp(kappa mu'x)
+where
+              kappa^{d/2 - 1}
+C_d(kappa) = -----------------------
+             (2 pi)^{d/2} I_{d/2-1}(kappa)
+"""
+
+
+def _model_args(g) -> None:
+    """Reference flags: vmf.hh:77-104."""
+    g.add_argument("--encoding", type=_csv_ints, default=())
+    g.add_argument("--decoding", type=_csv_ints, default=())
+    g.add_argument("--latent", type=int, default=2)
+    g.add_argument("--kappa_min", "--kappa-min", type=float, default=0.1)
+    g.add_argument("--kappa_max", "--kappa-max", type=float, default=10.0)
+    add_relu_flags(g)
+
+
+def main(argv=None) -> int:
+    parser = compose_parsers(_MODEL_DESC, _model_args)
+    ns, _unknown = parser.parse_known_args(argv)
+
+    opts = MMVaeOptions.from_args(ns)
+    topt = TrainingOptions.from_args(ns)
+
+    data_block, covar_block = prepare_blocks(opts)
+
+    TLOG("Constructing a model")
+    model = VMFVAE(
+        data_dim=data_block.nfeature(),
+        covar_dim=covar_block.nfeature(),
+        latent=ns.latent,
+        encoding=tuple(ns.encoding),
+        decoding=tuple(ns.decoding),
+        kappa_min=ns.kappa_min,
+        kappa_max=ns.kappa_max,
+        do_relu=ns.do_relu,
+    )
+    params = model.init(jax.random.PRNGKey(topt.seed))
+
+    recorder = LatentRecorder(
+        opts.out, topt.max_epoch, data_block.ntot(),
+        encode_fn=lambda p, x: model.encode(p, x),
+        mean_name="latent_mean", lnvar_name="latent_lnvar",
+    )
+
+    def forward(p, x, c, key, training):
+        return model.forward(p, x, c, key, training)
+
+    start_epoch = 0
+    init_opt_state = None
+    prev_losses: list[float] = []
+    if topt.resume:
+        opt_state_tmpl = make_optimizer(topt).init(params)
+        params, init_opt_state, start_epoch, prev_losses = load_checkpoint(
+            topt.resume, params, opt_state_tmpl
+        )
+        TLOG(f"Resumed from {topt.resume} at epoch {start_epoch}")
+
+    def on_epoch_end(epoch, p, o, losses):
+        if topt.checkpoint_dir:
+            save_checkpoint(topt.checkpoint_dir, p, o, epoch, topt.seed,
+                            prev_losses + losses)
+
+    mesh = None
+    if topt.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
+    params, scores = train_vae_model(
+        forward, recorder, data_block, covar_block, topt,
+        lambda x, out, beta: vmf_loss(x, out, beta),
+        params,
+        kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
+        mesh=mesh,
+        start_epoch=start_epoch,
+        init_opt_state=init_opt_state,
+        on_epoch_end=on_epoch_end,
+    )
+
+    write_vector_file(opts.out + ".scores.gz", prev_losses + scores)
+    TLOG("Done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,170 @@
+"""``vmfnb_vae`` — joint vMF + NB VAE trainer CLI.
+
+The reference ships this model as headers only with a disabled driver
+(src/backup/vmfnb_vae_main.cc — body commented out and excluded from the
+build).  This CLI completes the capability: without ``--annot`` it
+trains the shared-encoder joint model (include/models/vmfnb.hh); with
+``--annot`` + ``--row`` it trains the labeled-mixture variant
+(include/models/vmfnb_mixture.hh) and additionally writes the
+``.clust.gz`` assignment artifact.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from ..data.annotation import Annotation
+from ..models.vmfnb import VMFNBVAE, vmfnb_composite_loss
+from ..models.vmfnb_mixture import VMFNBMixtureVAE, mixture_composite_loss
+from ..train.checkpoint import load_checkpoint, save_checkpoint
+from ..train.config import MMVaeOptions, TrainingOptions, _csv_ints
+from ..train.loop import make_optimizer, train_vae_model
+from ..train.recorder import LatentRecorder
+from ..io.writers import write_vector_file
+from ..utils.logging import TLOG
+from .common import add_relu_flags, compose_parsers, prepare_blocks
+
+_MODEL_DESC = "Joint von Mises-Fisher + Negative Binomial VAE"
+
+
+def _model_args(g) -> None:
+    """Reference flags: vmfnb.hh:93-235 (adds --vmf_decoding)."""
+    g.add_argument("--mean_encoding", "--mean-encoding", type=_csv_ints,
+                   default=())
+    g.add_argument("--mean_decoding", "--mean-decoding", type=_csv_ints,
+                   default=())
+    g.add_argument("--vmf_decoding", "--vmf-decoding", type=_csv_ints,
+                   default=())
+    g.add_argument("--mean_latent", "--mean-latent", type=int, default=2)
+    g.add_argument("--overdisp_encoding", "--overdisp-encoding",
+                   "--overdispersion_encoding", "--overdispersion-encoding",
+                   dest="overdisp_encoding", type=int, default=1)
+    g.add_argument("--overdisp_latent", "--overdispersion_latent",
+                   "--overdispersion-latent", dest="overdisp_latent",
+                   type=int, default=1)
+    g.add_argument("--kappa_min", "--kappa-min", type=float, default=1.0)
+    g.add_argument("--kappa_max", "--kappa-max", type=float, default=100.0)
+    add_relu_flags(g)
+
+
+def main(argv=None) -> int:
+    parser = compose_parsers(_MODEL_DESC, _model_args)
+    ns, _unknown = parser.parse_known_args(argv)
+
+    opts = MMVaeOptions.from_args(ns)
+    topt = TrainingOptions.from_args(ns)
+
+    data_block, covar_block = prepare_blocks(opts)
+    D = data_block.nfeature()
+
+    mixture = bool(opts.annot)
+    TLOG("Constructing a model" + (" (labeled mixture)" if mixture else ""))
+
+    if mixture:
+        if not opts.row:
+            raise ValueError("--annot requires --row (the feature list)")
+        ann = Annotation(opts.annot, opts.row)
+        L = ann.matrix()
+        if L.shape[0] != D:
+            raise ValueError(
+                f"annotation covers {L.shape[0]} features but data has {D}"
+            )
+        model = VMFNBMixtureVAE(
+            label=L,
+            mean_encoding=tuple(ns.mean_encoding),
+            mean_decoding=tuple(ns.mean_decoding),
+            mean_latent=ns.mean_latent,
+            overdisp_encoding=ns.overdisp_encoding,
+            overdisp_latent=ns.overdisp_latent,
+            kappa_min=ns.kappa_min,
+            kappa_max=ns.kappa_max,
+            do_relu=ns.do_relu,
+        )
+        dd = model.dd
+
+        def forward(p, x, c, key, training):
+            return model.forward(p, x, key, training)
+
+        def loss_fn(x, out, beta):
+            return mixture_composite_loss(x, out, beta, dd)
+
+        def encode_fn(p, x):
+            # record the responsibility-weighted posterior
+            # (vmfnb_mixture recorder: nb_encode_mu(x, vmf latent))
+            vmf = model.vmf_forward(p, x, jax.random.PRNGKey(0), True)
+            return model.nb_encode_mu(p, x, vmf.latent)
+
+        def extra_fn(p, x):
+            vmf = model.vmf_forward(p, x, jax.random.PRNGKey(0), True)
+            return vmf.latent
+
+        recorder = LatentRecorder(
+            opts.out, topt.max_epoch, data_block.ntot(),
+            encode_fn=encode_fn, extra_fn=extra_fn, extra_name="clust",
+        )
+    else:
+        model = VMFNBVAE(
+            data_dim=D,
+            mean_encoding=tuple(ns.mean_encoding),
+            mean_decoding=tuple(ns.mean_decoding),
+            vmf_decoding=tuple(ns.vmf_decoding),
+            mean_latent=ns.mean_latent,
+            overdisp_encoding=ns.overdisp_encoding,
+            overdisp_latent=ns.overdisp_latent,
+            kappa_min=ns.kappa_min,
+            kappa_max=ns.kappa_max,
+            do_relu=ns.do_relu,
+        )
+
+        def forward(p, x, c, key, training):
+            return model.forward(p, x, key, training)
+
+        def loss_fn(x, out, beta):
+            return vmfnb_composite_loss(x, out, beta)
+
+        recorder = LatentRecorder(
+            opts.out, topt.max_epoch, data_block.ntot(),
+            encode_fn=lambda p, x: model.shared_encode_mu(p, x),
+        )
+
+    params = model.init(jax.random.PRNGKey(topt.seed))
+
+    start_epoch = 0
+    init_opt_state = None
+    prev_losses: list[float] = []
+    if topt.resume:
+        opt_state_tmpl = make_optimizer(topt).init(params)
+        params, init_opt_state, start_epoch, prev_losses = load_checkpoint(
+            topt.resume, params, opt_state_tmpl
+        )
+        TLOG(f"Resumed from {topt.resume} at epoch {start_epoch}")
+
+    def on_epoch_end(epoch, p, o, losses):
+        if topt.checkpoint_dir:
+            save_checkpoint(topt.checkpoint_dir, p, o, epoch, topt.seed,
+                            prev_losses + losses)
+
+    mesh = None
+    if topt.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
+    params, scores = train_vae_model(
+        forward, recorder, data_block, covar_block, topt, loss_fn, params,
+        kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
+        mesh=mesh,
+        start_epoch=start_epoch,
+        init_opt_state=init_opt_state,
+        on_epoch_end=on_epoch_end,
+    )
+
+    write_vector_file(opts.out + ".scores.gz", prev_losses + scores)
+    TLOG("Done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

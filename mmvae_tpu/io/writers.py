@@ -34,9 +34,13 @@ def _open_text_out(path: str):
 def write_data_file(path: str | os.PathLike, mat: np.ndarray) -> None:
     """Dense matrix as space-separated text rows (gz when ``.gz``)."""
     path = os.fspath(path)
-    mat = np.atleast_2d(np.asarray(mat))
+    mat = np.asarray(mat)
     if mat.ndim == 1:
         mat = mat[:, None]
+    elif mat.ndim == 0:
+        mat = mat.reshape(1, 1)
+    elif mat.ndim > 2:
+        mat = mat.reshape(mat.shape[0], -1)
     with _open_text_out(path) as f:
         for r in range(mat.shape[0]):
             f.write(" ".join(_fmt(v) for v in mat[r]))

@@ -1,0 +1,182 @@
+"""Negative-binomial VAE for count matrices.
+
+TPU-native reimplementation of the reference's NB-VAE
+(include/models/nb.hh:200-548): two latent pathways — a deep mean (mu)
+encoder/decoder and a shallow overdispersion (nu) pathway — plus a
+learned scalar sequencing-depth head and linear covariate side channels.
+
+Faithfully replicated quirks (SURVEY §7.3):
+
+- learned input standardization ``(log1p(x) - x_mean)/(softplus(ln_x_sd)+1e-4)``
+  with *trainable* x_mean / ln_x_sd (nb.hh:312-319, 403-417);
+- posterior log-variance clamped to [-4, 4] (nb.hh:414);
+- decoder mean = ``exp(log_softmax(h + hc + mu_bias))`` — a composition
+  vector (nb.hh:433-442);
+- overdispersion = ``clamp(softplus(nu_dec(z) - nu_bias), 1e-4, 1e4)``
+  (nb.hh:453-460);
+- eval-mode reparameterization returns the mean (nb.hh:462-472).
+
+The model object holds static configuration; parameters live in a flat
+dict keyed with the reference's parameter names so artifact dumps match.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.initializers import linear_apply, torch_linear_init
+from .modules import apply_stack, init_linear_stack, reparameterize
+
+
+class NBVAEOutput(NamedTuple):
+    """Forward output (reference: nbvae_out_t, nb.hh:200-210)."""
+
+    recon_mu: jax.Array
+    recon_nu: jax.Array
+    recon_depth: jax.Array
+    mu_mean: jax.Array
+    mu_lnvar: jax.Array
+    nu_mean: jax.Array
+    nu_lnvar: jax.Array
+
+
+@dataclass(frozen=True)
+class NBVAE:
+    """Static model configuration (reference ctor: nb.hh:299-401)."""
+
+    data_dim: int
+    covar_dim: int
+    mean_encoding: tuple[int, ...] = ()
+    mean_decoding: tuple[int, ...] = ()
+    mean_latent: int = 2
+    overdisp_encoding: int = 1
+    overdisp_latent: int = 1
+    do_relu: bool = False
+
+    # ------------------------------------------------------------------
+    def init(self, key: jax.Array) -> dict:
+        D, C = self.data_dim, self.covar_dim
+        R = self.mean_latent
+        keys = iter(jax.random.split(key, 16))
+        params: dict = {
+            "x_mean": jnp.zeros((1, D)),
+            "ln_x_sd": jnp.ones((1, D)),
+            "mu_bias": jnp.zeros((1, D)),
+            "nu_bias": jnp.zeros((1, D)),
+        }
+
+        # mu encoder: hidden layers, or a single D->R map when none
+        # (nb.hh:331-349)
+        hidden = list(self.mean_encoding)
+        enc_params, enc_names, d_prev = init_linear_stack(
+            next(keys), "mu_encoding", D, hidden, R if not hidden else None
+        )
+        params.update(enc_params)
+
+        params["covar_encoding"] = torch_linear_init(next(keys), C, R)
+        params["mu_representation_mean"] = torch_linear_init(next(keys), d_prev, R)
+        params["mu_representation_logvariance"] = torch_linear_init(
+            next(keys), d_prev, R
+        )
+
+        # mu decoder: hidden layers plus the final map to D (nb.hh:364-379)
+        dec_params, dec_names, _ = init_linear_stack(
+            next(keys), "mu_decoding", R, list(self.mean_decoding), D
+        )
+        params.update(dec_params)
+
+        params["covar_decoding"] = torch_linear_init(next(keys), C, D)
+
+        # nu pathway (nb.hh:385-394)
+        H, Rn = self.overdisp_encoding, self.overdisp_latent
+        params["nu_encoding"] = torch_linear_init(next(keys), D, H)
+        params["nu_representation_mean"] = torch_linear_init(next(keys), H, Rn)
+        params["nu_representation_logvariance"] = torch_linear_init(
+            next(keys), H, Rn
+        )
+        params["nu_decoding"] = torch_linear_init(next(keys), Rn, D)
+
+        params["depth"] = torch_linear_init(next(keys), D, 1)
+        return params
+
+    # ------------------------------------------------------------------
+    def _enc_names(self) -> list[str]:
+        hidden = list(self.mean_encoding)
+        if hidden:
+            return [f"mu_encoding_{i + 1}" for i in range(len(hidden))]
+        return ["mu_encoding"]
+
+    def _dec_names(self) -> list[str]:
+        hidden = list(self.mean_decoding)
+        return [f"mu_decoding_{i + 1}" for i in range(len(hidden))] + [
+            "mu_decoding"
+        ]
+
+    def _standardize(self, params: dict, x: jax.Array) -> jax.Array:
+        eps = 1e-4
+        x_sd = jax.nn.softplus(params["ln_x_sd"])
+        return (jnp.log1p(x) - params["x_mean"]) / (x_sd + eps)
+
+    def encode_mu(
+        self, params: dict, x: jax.Array, c: jax.Array | None = None
+    ) -> tuple[jax.Array, jax.Array]:
+        """(mean, lnvar) of q(z_mu | x [, c]) — reference nb.hh:403-431."""
+        xn = self._standardize(params, x)
+        h = apply_stack(params, self._enc_names(), xn, self.do_relu, relu_last=True)
+        lnvar = jnp.clip(
+            linear_apply(params["mu_representation_logvariance"], h), -4.0, 4.0
+        )
+        mean = linear_apply(params["mu_representation_mean"], h)
+        if c is not None:
+            mean = mean + linear_apply(params["covar_encoding"], c)
+        return mean, lnvar
+
+    def decode_mu(self, params: dict, z: jax.Array, c: jax.Array) -> jax.Array:
+        """Composition-vector decoder — reference nb.hh:433-442."""
+        h = apply_stack(params, self._dec_names(), z, self.do_relu, relu_last=False)
+        hc = linear_apply(params["covar_decoding"], c)
+        return jnp.exp(
+            jax.nn.log_softmax(h + hc + params["mu_bias"], axis=1)
+        )
+
+    def encode_nu(self, params: dict, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Reference nb.hh:444-451 (note: no ReLU on the hidden layer)."""
+        h = linear_apply(params["nu_encoding"], x)
+        lnvar = jnp.clip(
+            linear_apply(params["nu_representation_logvariance"], h), -4.0, 4.0
+        )
+        return linear_apply(params["nu_representation_mean"], h), lnvar
+
+    def decode_nu(self, params: dict, z: jax.Array) -> jax.Array:
+        """Reference nb.hh:453-460."""
+        ret = jax.nn.softplus(linear_apply(params["nu_decoding"], z) - params["nu_bias"])
+        return jnp.clip(ret, 1e-4, 1e4)
+
+    def forward(
+        self,
+        params: dict,
+        x: jax.Array,
+        c: jax.Array,
+        key: jax.Array,
+        training: bool = True,
+    ) -> NBVAEOutput:
+        """Full forward pass (reference nb.hh:474-508)."""
+        k_mu, k_nu = jax.random.split(key)
+
+        mu_mean, mu_lnvar = self.encode_mu(params, x, c)
+        z_mu = reparameterize(k_mu, mu_mean, mu_lnvar, training)
+        recon_mu = self.decode_mu(params, z_mu, c)
+
+        nu_mean, nu_lnvar = self.encode_nu(params, x)
+        z_nu = reparameterize(k_nu, nu_mean, nu_lnvar, training)
+        recon_nu = self.decode_nu(params, z_nu)
+
+        depth = jax.nn.softplus(linear_apply(params["depth"], x))
+
+        return NBVAEOutput(
+            recon_mu, recon_nu, depth, mu_mean, mu_lnvar, nu_mean, nu_lnvar
+        )

@@ -1,0 +1,240 @@
+"""Joint vMF + NB VAE: two likelihoods on the same data, shared encoder.
+
+TPU-native reimplementation of the reference's joint model
+(include/models/vmfnb.hh:241-758): a shared Gaussian latent (from the NB
+mu encoder) drives both an NB decoder and a vMF decoder; kappa is a
+*per-sample* linear head on x.
+
+Quirks preserved (they differ from the standalone NB/vMF models):
+
+- the NB encoder input is L2-normalized after log1p with eps = 1e-2
+  (``normalize_nb_x``, vmfnb.hh:601-611) — unlike nb.hh;
+- ``mu_bias`` is added *outside* log_softmax (vmfnb.hh:466) — unlike
+  nb.hh:440 where it is inside;
+- nu decoding is ``clamp(exp(.), 0, 1e4)`` (vmfnb.hh:488-493) — exp,
+  not softplus, and a 0 lower clamp;
+- the nu encoder hidden layer IS ReLU'd (vmfnb.hh:481) — unlike nb.hh;
+- the two decoders draw *independent* reparameterization noise from the
+  same shared posterior (vmfnb.hh:519,533).
+
+Known deviation: the reference's ``vmf_loss`` multiplies a shape-(n,)
+row-sum by the (n,1) kappa head, which broadcasts to an (n,n) outer
+product before the final sum (vmfnb.hh:569) — an apparent latent bug in
+a driver that is disabled upstream (src/backup/vmfnb_vae_main.cc).  We
+compute the per-sample quantity instead.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.initializers import linear_apply, torch_linear_init
+from ..ops.lbessel import lbessel
+from ..ops.losses import gaussian_kl, l2_normalize
+from .modules import apply_stack, init_linear_stack, reparameterize
+
+
+class VMFNBVAEOutput(NamedTuple):
+    """Reference: vmfnb_vae_out_t (vmfnb.hh:241-255)."""
+
+    nb_recon_mu: jax.Array
+    nb_recon_nu: jax.Array
+    nb_recon_depth: jax.Array
+    nb_mu_mean: jax.Array
+    nb_mu_lnvar: jax.Array
+    nb_nu_mean: jax.Array
+    nb_nu_lnvar: jax.Array
+    vmf_recon: jax.Array
+    vmf_kappa: jax.Array
+
+
+@dataclass(frozen=True)
+class VMFNBVAE:
+    """Static configuration (reference ctor: vmfnb.hh:335-447)."""
+
+    data_dim: int
+    mean_encoding: tuple[int, ...] = ()
+    mean_decoding: tuple[int, ...] = ()
+    vmf_decoding: tuple[int, ...] = ()
+    mean_latent: int = 2
+    overdisp_encoding: int = 1
+    overdisp_latent: int = 1
+    kappa_min: float = 1.0
+    kappa_max: float = 100.0
+    do_relu: bool = False
+    nu_max: float = 1e4
+
+    def init(self, key: jax.Array) -> dict:
+        D, R = self.data_dim, self.mean_latent
+        keys = iter(jax.random.split(key, 16))
+        params: dict = {
+            "x_mean": jnp.zeros((1, D)),
+            "ln_x_sd": jnp.ones((1, D)),
+            "mu_bias": jnp.zeros((1, D)),
+            "nu_bias": jnp.zeros((1, D)),
+        }
+        hidden = list(self.mean_encoding)
+        enc_params, _, d_prev = init_linear_stack(
+            next(keys), "nb_mu_encoding", D, hidden, R if not hidden else None
+        )
+        params.update(enc_params)
+        params["nb_mu_representation_mean"] = torch_linear_init(next(keys), d_prev, R)
+        params["nb_mu_representation_logvariance"] = torch_linear_init(
+            next(keys), d_prev, R
+        )
+        dec_params, _, _ = init_linear_stack(
+            next(keys), "nb_mu_decoding", R, list(self.mean_decoding), D
+        )
+        params.update(dec_params)
+
+        H, Rn = self.overdisp_encoding, self.overdisp_latent
+        params["nb_nu_encoding"] = torch_linear_init(next(keys), D, H)
+        params["nb_nu_representation_mean"] = torch_linear_init(next(keys), H, Rn)
+        params["nb_nu_representation_logvariance"] = torch_linear_init(
+            next(keys), H, Rn
+        )
+        params["nb_nu_decoding"] = torch_linear_init(next(keys), Rn, D)
+        params["depth"] = torch_linear_init(next(keys), D, 1)
+
+        params["ln_kappa"] = torch_linear_init(next(keys), D, 1)
+        vdec_params, _, _ = init_linear_stack(
+            next(keys), "vmf_mu_decoding", R, list(self.vmf_decoding), D
+        )
+        params.update(vdec_params)
+        return params
+
+    def _enc_names(self) -> list[str]:
+        hidden = list(self.mean_encoding)
+        if hidden:
+            return [f"nb_mu_encoding_{i + 1}" for i in range(len(hidden))]
+        return ["nb_mu_encoding"]
+
+    def _dec_names(self) -> list[str]:
+        hidden = list(self.mean_decoding)
+        return [f"nb_mu_decoding_{i + 1}" for i in range(len(hidden))] + [
+            "nb_mu_decoding"
+        ]
+
+    def _vdec_names(self) -> list[str]:
+        hidden = list(self.vmf_decoding)
+        return [f"vmf_mu_decoding_{i + 1}" for i in range(len(hidden))] + [
+            "vmf_mu_decoding"
+        ]
+
+    def normalize_nb_x(self, params: dict, x: jax.Array) -> jax.Array:
+        """Reference vmfnb.hh:601-611 (eps = 1e-2, not scaled by D)."""
+        eps = 1e-2
+        xn = l2_normalize(jnp.log1p(x), axis=1)
+        return (xn - params["x_mean"]) / (
+            jax.nn.softplus(params["ln_x_sd"]) + eps
+        )
+
+    def shared_encode_mu(
+        self, params: dict, x: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """Reference vmfnb.hh:449-460."""
+        h = apply_stack(
+            params, self._enc_names(), self.normalize_nb_x(params, x),
+            self.do_relu, relu_last=True,
+        )
+        lnvar = jnp.clip(
+            linear_apply(params["nb_mu_representation_logvariance"], h), -4.0, 4.0
+        )
+        return linear_apply(params["nb_mu_representation_mean"], h), lnvar
+
+    def nb_decode_mu(self, params: dict, z: jax.Array) -> jax.Array:
+        """mu_bias OUTSIDE log_softmax (vmfnb.hh:462-467)."""
+        h = apply_stack(params, self._dec_names(), z, self.do_relu, relu_last=False)
+        return jnp.exp(jax.nn.log_softmax(h, axis=1) + params["mu_bias"])
+
+    def vmf_decode_mu(self, params: dict, z: jax.Array) -> jax.Array:
+        """Reference vmfnb.hh:469-475."""
+        h = apply_stack(params, self._vdec_names(), z, self.do_relu, relu_last=False)
+        return l2_normalize(h, axis=1)
+
+    def nb_encode_nu(self, params: dict, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """ReLU'd hidden layer (vmfnb.hh:477-486)."""
+        h = jax.nn.relu(linear_apply(params["nb_nu_encoding"], x))
+        lnvar = jnp.clip(
+            linear_apply(params["nb_nu_representation_logvariance"], h), -4.0, 4.0
+        )
+        return linear_apply(params["nb_nu_representation_mean"], h), lnvar
+
+    def nb_decode_nu(self, params: dict, z: jax.Array) -> jax.Array:
+        """exp (not softplus), lower clamp 0 (vmfnb.hh:488-493)."""
+        ret = jnp.exp(linear_apply(params["nb_nu_decoding"], z) - params["nu_bias"])
+        return jnp.clip(ret, 0.0, self.nu_max)
+
+    def forward(
+        self,
+        params: dict,
+        x: jax.Array,
+        key: jax.Array,
+        training: bool = True,
+    ) -> VMFNBVAEOutput:
+        """Reference vmfnb.hh:506-549."""
+        k_nb, k_nu, k_vmf = jax.random.split(key, 3)
+        mu_mean, mu_lnvar = self.shared_encode_mu(params, x)
+
+        nb_mu = self.nb_decode_mu(
+            params, reparameterize(k_nb, mu_mean, mu_lnvar, training)
+        )
+        nu_mean, nu_lnvar = self.nb_encode_nu(params, x)
+        nb_nu = self.nb_decode_nu(
+            params, reparameterize(k_nu, nu_mean, nu_lnvar, training)
+        )
+        depth = jax.nn.softplus(linear_apply(params["depth"], x))
+
+        vmf_recon = self.vmf_decode_mu(
+            params, reparameterize(k_vmf, mu_mean, mu_lnvar, training)
+        )
+        kappa = jnp.exp(
+            jnp.clip(
+                linear_apply(params["ln_kappa"], x),
+                math.log(self.kappa_min),
+                math.log(self.kappa_max),
+            )
+        )
+        return VMFNBVAEOutput(
+            nb_mu, nb_nu, depth, mu_mean, mu_lnvar, nu_mean, nu_lnvar,
+            vmf_recon, kappa,
+        )
+
+
+# ----------------------------------------------------------------------
+# losses (reference: vmfnb.hh:551-599, 727-758)
+# ----------------------------------------------------------------------
+
+def vmfnb_vmf_nllik(x: jax.Array, out: VMFNBVAEOutput) -> jax.Array:
+    """Per-sample vMF negative log-likelihood, summed (vmfnb.hh:554-574)."""
+    dd = float(x.shape[1])
+    eps = 1e-2 / dd
+    yobs = l2_normalize(jnp.log1p(jax.nn.relu(x)) + eps, axis=1)
+    df = max(0.5 * dd - 1.0, 0.0)
+    kappa = out.vmf_kappa[:, 0]  # per-sample scalar
+    llik = jnp.sum(yobs * out.vmf_recon, axis=1) * kappa
+    llik += df * jnp.log(kappa) - lbessel(kappa, df)
+    llik -= 0.5 * dd * math.log(2.0 * math.pi)
+    return -jnp.sum(llik)
+
+
+def vmfnb_nb_nllik(x: jax.Array, out: VMFNBVAEOutput) -> jax.Array:
+    """NB negative log-likelihood (vmfnb.hh:576-599)."""
+    from ..ops.losses import nb_nllik
+
+    return nb_nllik(x, out.nb_recon_mu, out.nb_recon_nu, out.nb_recon_depth)
+
+
+def vmfnb_composite_loss(x: jax.Array, out: VMFNBVAEOutput, rate) -> jax.Array:
+    """(NB NLL + vMF NLL + rate * (KL_mu + KL_nu)) / n
+    (reference: composite_loss_t, vmfnb.hh:727-758)."""
+    n = x.shape[0]
+    kl_nb = gaussian_kl(out.nb_mu_mean, out.nb_mu_lnvar) + gaussian_kl(
+        out.nb_nu_mean, out.nb_nu_lnvar
+    )
+    return (vmfnb_nb_nllik(x, out) + vmfnb_vmf_nllik(x, out) + rate * kl_nb) / n

@@ -1,0 +1,112 @@
+"""ELBO terms as pure, fusable JAX functions.
+
+Everything here compiles into the jitted train step, so the entire
+ELBO — likelihood, KLs, annealing weight — fuses into one XLA
+computation (no per-op kernel launches as in the LibTorch reference).
+
+Formulas replicate the reference exactly, including its epsilons and
+clamps (SURVEY §7.3), except that approximate ``fasterlog`` constants
+(reference: include/models/vmf.hh:437) are evaluated exactly — they are
+additive constants with zero gradient.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Row L2 normalization matching ``F::normalize`` (p=2, eps=1e-12)."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, 1e-12)
+
+
+def gaussian_kl(mean: jax.Array, lnvar: jax.Array) -> jax.Array:
+    """KL(q(z|mean, exp(lnvar)) || N(0, I)), summed over all elements.
+
+    Reference: ``kl_loss`` (include/models/nb.hh:533-537),
+    ``kl_loss_normal`` (include/models/vmf.hh:410-414).
+    """
+    return -0.5 * jnp.sum(1.0 + lnvar - jnp.square(mean) - jnp.exp(lnvar))
+
+
+def uniform_kl(ln_q: jax.Array) -> jax.Array:
+    """KL(q || uniform over K), summed over the batch.
+
+    Reference: ``kl_loss_uniform``
+    (include/models/vmfnb_mixture.hh:698-706).
+    """
+    k = ln_q.shape[1]
+    return jnp.sum(jnp.exp(ln_q) * (ln_q + math.log(float(k))))
+
+
+def nb_nllik(
+    x: jax.Array,
+    recon_mu: jax.Array,
+    recon_nu: jax.Array,
+    recon_depth: jax.Array,
+) -> jax.Array:
+    """Negative binomial negative log-likelihood, summed over batch x features.
+
+    Reference: ``nllik_loss`` (include/models/nb.hh:511-531):
+        nu' = nu + eps;  mu' = mu * depth + eps
+        lg  = lgamma(nu') + lgamma(x + 1) - lgamma(nu' + x)
+        pr  = x (log(mu'+nu') - log mu') + nu' (log(mu'+nu') - log nu')
+    """
+    eps = 1e-4
+    nu = recon_nu + eps
+    mu = recon_mu * recon_depth + eps
+    lg = jax.lax.lgamma(nu) + jax.lax.lgamma(x + 1.0) - jax.lax.lgamma(nu + x)
+    denom = jnp.log(mu + nu)
+    pr = x * (denom - jnp.log(mu)) + nu * (denom - jnp.log(nu))
+    return jnp.sum(lg + pr)
+
+
+def nb_loss(x: jax.Array, out, kl_weight) -> jax.Array:
+    """Total NB-VAE loss: (NLL + beta*(KL_mu + KL_nu)) / batch.
+
+    Reference: ``loss`` (include/models/nb.hh:539-548).  ``out`` is an
+    :class:`mmvae_tpu.models.nb.NBVAEOutput`.
+    """
+    n = x.shape[0]
+    ret = nb_nllik(x, out.recon_mu, out.recon_nu, out.recon_depth)
+    ret += gaussian_kl(out.mu_mean, out.mu_lnvar) * kl_weight
+    ret += gaussian_kl(out.nu_mean, out.nu_lnvar) * kl_weight
+    return ret / n
+
+
+def vmf_loss(x: jax.Array, out, kl_weight) -> jax.Array:
+    """Total vMF-VAE loss (reference: vmf_vae_loss, include/models/vmf.hh:419-440).
+
+    ``out`` is an :class:`mmvae_tpu.models.vmf.VMFVAEOutput` with fields
+    ``recon`` (N x D unit rows), ``mean``/``lnvar`` (latent posterior),
+    ``kappa`` (clamped scalar concentration).
+    """
+    from .lbessel import lbessel
+
+    dd = float(x.shape[1])
+    eps = 1e-2 / dd
+    yobs = l2_normalize(jnp.log1p(jax.nn.relu(x)) + eps, axis=1)
+
+    n = x.shape[0]
+    df = max(0.5 * dd - 1.0, 0.0)
+
+    kl = gaussian_kl(out.mean, out.lnvar)
+    llik = jnp.sum(yobs * out.recon, axis=1) * out.kappa
+    llik += df * jnp.log(out.kappa) - lbessel(out.kappa, df)
+    llik -= 0.5 * dd * math.log(2.0 * math.pi)
+
+    return kl / n * kl_weight - jnp.sum(llik) / n
+
+
+def kl_weight_schedule(epoch, kl_max: float, kl_min: float, kl_discount: float):
+    """KL annealing beta(t) = max(kl_min, kl_max * exp(-kl_discount * t)).
+
+    Reference: ``nb_loss_t``/``vmf_loss_t`` wrappers
+    (src/nb_vae_main.cc:27-32, src/vmf_vae_main.cc:25-31).  Works on
+    traced or Python scalars.
+    """
+    return jnp.maximum(kl_min, kl_max * jnp.exp(-kl_discount * epoch))

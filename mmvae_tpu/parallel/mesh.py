@@ -1,0 +1,64 @@
+"""Device mesh + sharding layout.
+
+This layer has no analog in the reference, which is single-process,
+single-device (SURVEY §2.7).  Scaling here is the idiomatic JAX way:
+one ``jax.sharding.Mesh`` over the slice's devices with two logical
+axes —
+
+- ``data``:   batch dimension (DP).  Per-batch losses sum over the
+  batch, so sharding the batch makes XLA insert the gradient
+  ``psum`` over ICI automatically; no hand-written collectives.
+- ``model``:  the feature dimension D (TP).  For atlas-scale D the
+  decoder/encoder matmuls and their (*, D) parameters shard over this
+  axis; the log_softmax over D becomes an XLA all-reduce pair.
+
+Use :func:`make_mesh` for a 1-D data mesh (the default) or pass
+``model_parallel`` for a 2-D (data, model) mesh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(model_parallel: int = 1, devices=None) -> Mesh:
+    """Mesh over all local devices: (data, model) with |model| =
+    ``model_parallel``."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    assert n % model_parallel == 0, (
+        f"{n} devices not divisible by model_parallel={model_parallel}"
+    )
+    grid = devices.reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (S, B, ...) superbatches: shard B over 'data'."""
+    return NamedSharding(mesh, P(None, "data", None))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, params: dict, data_dim: int) -> dict:
+    """Tensor-parallel layout: shard every parameter axis of size
+    ``data_dim`` (the feature axis D) over 'model'; replicate the rest.
+
+    Returns a pytree of NamedSharding matching ``params``.
+    """
+
+    def spec_for(arr) -> NamedSharding:
+        shape = np.shape(arr)
+        spec = [None] * len(shape)
+        for i, s in enumerate(shape):
+            if s == data_dim and data_dim > 1:
+                spec[i] = "model"
+                break  # shard at most one axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(spec_for, params)

@@ -1,0 +1,117 @@
+"""Checkpoint / resume (a capability the reference lacks — SURVEY §5.4).
+
+The reference only dumps parameters as gzipped text with no load path
+(write-only snapshots, include/models/nb.hh:583-616).  Here a checkpoint
+holds everything needed for exact resume: parameters, Adam state, the
+epoch counter, and the training seed.  Storage is a single ``.npz``
+(flattened pytree) plus a JSON sidecar — no external dependencies, safe
+under preemption via atomic rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    flat = {}
+    if isinstance(tree, dict):
+        items = tree.items()
+        for k, v in items:
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+        return flat
+    if isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            flat.update(_flatten(v, f"{prefix}{i}/"))
+        return flat
+    flat[prefix.rstrip("/")] = np.asarray(tree)
+    return flat
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    params,
+    opt_state,
+    epoch: int,
+    seed: int,
+    loss_vec: list[float],
+) -> str:
+    """Atomically write ``<ckpt_dir>/ckpt.npz`` + ``meta.json``."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    flat_p = {f"params/{k}": v for k, v in _flatten(params).items()}
+
+    # Adam state: serialize leaves positionally with treedef repr as guard
+    opt_leaves, opt_treedef = jax.tree_util.tree_flatten(opt_state)
+    flat_o = {f"opt/{i}": np.asarray(l) for i, l in enumerate(opt_leaves)}
+
+    path = os.path.join(ckpt_dir, "ckpt.npz")
+    # note: np.savez appends ".npz" unless the name already ends with it
+    fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp.npz")
+    os.close(fd)
+    np.savez(tmp, **flat_p, **flat_o)
+    os.replace(tmp, path)
+
+    meta = {
+        "epoch": epoch,
+        "seed": seed,
+        "loss_vec": [float(v) for v in loss_vec],
+        "opt_treedef": str(opt_treedef),
+        "n_opt_leaves": len(opt_leaves),
+    }
+    mpath = os.path.join(ckpt_dir, "meta.json")
+    fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".json.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, mpath)
+    return path
+
+
+def load_checkpoint(ckpt_dir: str, params_template, opt_state_template):
+    """Restore (params, opt_state, next_epoch, loss_vec).
+
+    Templates provide the pytree structure (build them with
+    ``model.init`` + ``optimizer.init`` before calling).
+    """
+    data = np.load(os.path.join(ckpt_dir, "ckpt.npz"))
+    with open(os.path.join(ckpt_dir, "meta.json")) as f:
+        meta = json.load(f)
+
+    flat_t = _flatten(params_template)
+    params_flat = {}
+    for k in flat_t:
+        arr = data[f"params/{k}"]
+        if arr.shape != flat_t[k].shape:
+            raise ValueError(
+                f"checkpoint shape mismatch for {k}: "
+                f"{arr.shape} vs {flat_t[k].shape}"
+            )
+        params_flat[k] = arr
+    params = _unflatten_like(params_template, params_flat)
+
+    leaves_t, treedef = jax.tree_util.tree_flatten(opt_state_template)
+    if meta["n_opt_leaves"] != len(leaves_t):
+        raise ValueError("optimizer state structure changed; cannot resume")
+    opt_leaves = [data[f"opt/{i}"] for i in range(len(leaves_t))]
+    opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
+
+    return params, opt_state, meta["epoch"] + 1, list(meta["loss_vec"])
+
+
+def _unflatten_like(template, flat: dict, prefix=""):
+    if isinstance(template, dict):
+        return {
+            k: _unflatten_like(v, flat, f"{prefix}{k}/")
+            for k, v in template.items()
+        }
+    if isinstance(template, (list, tuple)):
+        seq = [
+            _unflatten_like(v, flat, f"{prefix}{i}/")
+            for i, v in enumerate(template)
+        ]
+        return type(template)(seq)
+    return flat[prefix.rstrip("/")]

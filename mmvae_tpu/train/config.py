@@ -1,0 +1,126 @@
+"""Layered option dataclasses with the reference's CLI flag surface.
+
+The reference composes three independent getopt_long parsers over one
+argv (SURVEY §2.5); here each option group is a dataclass with an
+``add_args``/``from_args`` pair, and the CLIs run all groups over the
+same command line with ``parse_known_args`` — flags from other groups
+pass through, exactly like the reference's ``optind`` reset trick
+(include/mmvae.hh:109-120).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from dataclasses import dataclass, field
+
+
+def _csv_ints(s: str) -> tuple[int, ...]:
+    """Comma-separated layer dims, e.g. '10,10' (reference: nb.hh:114-121)."""
+    s = s.strip()
+    if not s:
+        return ()
+    return tuple(int(t) for t in s.split(","))
+
+
+@dataclass
+class MMVaeOptions:
+    """Data/IO + KL options (reference: mmvae_options_t, mmvae.hh:31-56)."""
+
+    mtx: str = ""
+    idx: str = ""
+    out: str = ""
+    row: str = ""
+    col: str = ""
+    annot: str = ""
+    covar_mtx: str = ""
+    covar_idx: str = ""
+    batch_size: int = 100
+    kl_discount: float = 0.1
+    kl_min: float = 1e-2
+    kl_max: float = 1.0
+
+    @staticmethod
+    def add_args(p: argparse.ArgumentParser) -> None:
+        p.add_argument("--mtx", type=str, default="")
+        p.add_argument("--idx", type=str, default="")
+        p.add_argument("--out", "--output", dest="out", type=str, default="")
+        p.add_argument("--row", type=str, default="")
+        p.add_argument("--col", "--column", dest="col", type=str, default="")
+        p.add_argument("--annot", "--annotation", dest="annot", type=str,
+                       default="")
+        p.add_argument("--covar", "--cov", dest="covar_mtx", type=str,
+                       default="")
+        p.add_argument("--covar_idx", "--cov_idx", dest="covar_idx", type=str,
+                       default="")
+        p.add_argument("--batch_size", "--batch", dest="batch_size", type=int,
+                       default=100)
+        p.add_argument("--kl_discount", type=float, default=0.1)
+        p.add_argument("--kl_min", type=float, default=1e-2)
+        p.add_argument("--kl_max", type=float, default=1.0)
+
+    @classmethod
+    def from_args(cls, ns: argparse.Namespace) -> "MMVaeOptions":
+        opt = cls(
+            mtx=ns.mtx, idx=ns.idx, out=ns.out, row=ns.row, col=ns.col,
+            annot=ns.annot, covar_mtx=ns.covar_mtx, covar_idx=ns.covar_idx,
+            batch_size=ns.batch_size, kl_discount=ns.kl_discount,
+            kl_min=ns.kl_min, kl_max=ns.kl_max,
+        )
+        opt.finalize()
+        return opt
+
+    def finalize(self) -> None:
+        """Derived defaults (reference: mmvae.hh:197-207)."""
+        if not self.mtx or not os.path.exists(self.mtx):
+            raise FileNotFoundError(f"missing mtx file: {self.mtx!r}")
+        if not self.out:
+            raise ValueError("need output file header (--out)")
+        if not self.idx:
+            self.idx = self.mtx + ".index"
+        if not self.covar_idx and self.covar_mtx:
+            self.covar_idx = self.covar_mtx + ".index"
+
+
+@dataclass
+class TrainingOptions:
+    """Training-loop options (reference: training_options_t,
+    mmvae_alg.hh:14-33)."""
+
+    lr: float = 1e-3
+    grad_clip: float = 1.0
+    nboot: int = 3
+    max_epoch: int = 101
+    recording: int = 10
+    weight_decay: float = 1e-4  # hard-coded in the reference (mmvae_alg.hh:236)
+    # TPU-native additions (no reference analog):
+    superbatch: int = 8          # minibatches fused per jit dispatch
+    seed: int = 0                # deterministic PRNG (reference: random_device)
+    resume: str = ""             # checkpoint directory to resume from
+    checkpoint_dir: str = ""     # where to write checkpoints ("" = off)
+    data_parallel: bool = False  # shard the batch over all local devices
+
+    @staticmethod
+    def add_args(p: argparse.ArgumentParser) -> None:
+        p.add_argument("--lr", "--learning", "--learn_rate", "--learning_rate",
+                       "--rate", dest="lr", type=float, default=1e-3)
+        p.add_argument("--grad_clip", type=float, default=1.0)
+        p.add_argument("--nboot", "--boot", "--bootstrap", dest="nboot",
+                       type=int, default=3)
+        p.add_argument("--max_epoch", "--epoch", dest="max_epoch", type=int,
+                       default=101)
+        p.add_argument("--recording", type=int, default=10)
+        p.add_argument("--superbatch", type=int, default=8)
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--resume", type=str, default="")
+        p.add_argument("--checkpoint_dir", type=str, default="")
+        p.add_argument("--data_parallel", action="store_true")
+
+    @classmethod
+    def from_args(cls, ns: argparse.Namespace) -> "TrainingOptions":
+        return cls(
+            lr=ns.lr, grad_clip=ns.grad_clip, nboot=ns.nboot,
+            max_epoch=ns.max_epoch, recording=ns.recording,
+            superbatch=ns.superbatch, seed=ns.seed, resume=ns.resume,
+            checkpoint_dir=ns.checkpoint_dir, data_parallel=ns.data_parallel,
+        )

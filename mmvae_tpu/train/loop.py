@@ -1,0 +1,274 @@
+"""Training algorithm: KL-annealed, bootstrap-resampled Adam.
+
+Semantics replicate ``train_vae_model`` (reference:
+include/mmvae_alg.hh:200-338):
+
+- sequential non-shuffled batches with wrap-around;
+- per batch: one train-mode reporting forward (loss recorded, no step)
+  followed by ``nboot`` gradient steps on bootstrap resamples (with
+  replacement) of the same batch;
+- Adam(lr, weight_decay=1e-4) with global-norm gradient clipping 1.0,
+  in torch's order: clip raw grads -> add wd*param -> Adam moments;
+- per-epoch mean reported loss accumulated into the scores vector.
+
+TPU-native structure: the whole per-batch computation — reporting
+forward, the nboot resample/grad/update loop (``lax.fori_loop``), the KL
+schedule — is one jitted function, and ``superbatch`` consecutive
+batches are processed per dispatch with ``lax.scan``, so host<->device
+round trips happen a few times per epoch instead of 4x per batch.
+PRNG keys are derived as fold_in(fold_in(seed, epoch), global_batch), so
+runs are bit-reproducible for any superbatch size or device count
+(the reference uses a nondeterministic ``std::random_device``,
+mmvae_alg.hh:242-243).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.pipeline import PrefetchLoader, sequential_batches
+from ..ops.losses import kl_weight_schedule
+from ..utils.logging import TLOG
+from .config import TrainingOptions
+
+
+def make_optimizer(opt: TrainingOptions) -> optax.GradientTransformation:
+    """torch-order Adam: clip -> +wd*param -> Adam(b1=.9,b2=.999,eps=1e-8)
+    (reference: mmvae_alg.hh:234-236, 308-310)."""
+    return optax.chain(
+        optax.clip_by_global_norm(opt.grad_clip),
+        optax.add_decayed_weights(opt.weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-opt.lr),
+    )
+
+
+class Trainer:
+    """Compiles and runs the per-superbatch training step.
+
+    Parameters
+    ----------
+    forward : (params, x, c, key, training) -> model output
+    loss_fn : (x, out, beta) -> scalar loss
+    opt     : TrainingOptions
+    kl      : (kl_max, kl_min, kl_discount) annealing constants
+    mesh    : optional jax Mesh for data/tensor parallelism; when given,
+              inputs are sharded along the batch axis and parameters are
+              replicated (see mmvae_tpu.parallel).
+    """
+
+    def __init__(
+        self,
+        forward: Callable,
+        loss_fn: Callable,
+        opt: TrainingOptions,
+        kl: tuple[float, float, float] = (1.0, 1e-2, 0.1),
+        mesh=None,
+    ):
+        self.forward = forward
+        self.loss_fn = loss_fn
+        self.opt = opt
+        self.kl_max, self.kl_min, self.kl_discount = kl
+        self.optimizer = make_optimizer(opt)
+        self.mesh = mesh
+        self._x_sharding = None
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            self._x_sharding = batch_sharding(mesh)
+        self._step = jax.jit(self._superbatch_step, donate_argnums=(0, 1))
+        self._base_key = jax.random.PRNGKey(opt.seed)
+
+    # ------------------------------------------------------------------
+    def _batch_step(self, params, opt_state, x, c, epoch_f, key):
+        beta = kl_weight_schedule(
+            epoch_f, self.kl_max, self.kl_min, self.kl_discount
+        )
+        k_rep, k_boot = jax.random.split(key)
+
+        # reporting loss: train-mode forward on the sequential batch,
+        # no gradient step (mmvae_alg.hh:277-285)
+        out = self.forward(params, x, c, k_rep, True)
+        report = self.loss_fn(x, out, beta)
+
+        B = x.shape[0]
+
+        def boot_body(i, carry):
+            params, opt_state = carry
+            kb = jax.random.fold_in(k_boot, i)
+            k_idx, k_fwd = jax.random.split(kb)
+            # resample with replacement (mmvae_alg.hh:290-301)
+            ridx = jax.random.randint(k_idx, (B,), 0, B)
+            xb = jnp.take(x, ridx, axis=0)
+            cb = jnp.take(c, ridx, axis=0) if c is not None else None
+
+            def lf(p):
+                o = self.forward(p, xb, cb, k_fwd, True)
+                return self.loss_fn(xb, o, beta)
+
+            grads = jax.grad(lf)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state
+
+        params, opt_state = jax.lax.fori_loop(
+            0, self.opt.nboot, boot_body, (params, opt_state)
+        )
+        return params, opt_state, report
+
+    def _superbatch_step(
+        self, params, opt_state, x_sb, c_sb, epoch_f, batch_ids, base_key
+    ):
+        ekey = jax.random.fold_in(base_key, jnp.asarray(epoch_f, jnp.int32))
+
+        def scan_body(carry, inp):
+            params, opt_state = carry
+            x, c, b_id = inp
+            key = jax.random.fold_in(ekey, b_id)
+            params, opt_state, report = self._batch_step(
+                params, opt_state, x, c, epoch_f, key
+            )
+            return (params, opt_state), report
+
+        (params, opt_state), reports = jax.lax.scan(
+            scan_body, (params, opt_state), (x_sb, c_sb, batch_ids)
+        )
+        return params, opt_state, reports
+
+    # ------------------------------------------------------------------
+    def _put(self, arr: np.ndarray):
+        """Device-put a (S, B, D) superbatch, sharded over the mesh's
+        batch axis when data parallelism is on."""
+        if self._x_sharding is not None:
+            return jax.device_put(arr, self._x_sharding)
+        return jnp.asarray(arr)
+
+    def step(self, params, opt_state, x_sb, c_sb, epoch, batch_ids):
+        """Run one superbatch of sequential batches; returns
+        (params, opt_state, per-batch reported losses)."""
+        return self._step(
+            params,
+            opt_state,
+            self._put(x_sb),
+            self._put(c_sb),
+            jnp.float32(epoch),
+            jnp.asarray(batch_ids, jnp.int32),
+            self._base_key,
+        )
+
+
+def train_vae_model(
+    forward: Callable,
+    recorder,
+    data_block,
+    covar_block,
+    opt: TrainingOptions,
+    loss_fn: Callable,
+    init_params,
+    kl: tuple[float, float, float] = (1.0, 1e-2, 0.1),
+    mesh=None,
+    start_epoch: int = 0,
+    init_opt_state=None,
+    on_epoch_end: Callable | None = None,
+) -> tuple[dict, list[float]]:
+    """The high-level training loop (reference: mmvae_alg.hh:200-338).
+
+    Returns (trained params, per-epoch mean loss vector).
+    """
+    ntot = data_block.ntot()
+    assert ntot == covar_block.ntot(), (
+        "data and covar on the same set of data points"
+    )
+    B = data_block.size()
+    assert B == covar_block.size(), "data and covar on the same batch size"
+
+    batches = sequential_batches(ntot, B)
+    nbatch = len(batches)
+    TLOG(f"Batch size = {B}, Number of batches = {nbatch}")
+
+    trainer = Trainer(forward, loss_fn, opt, kl, mesh=mesh)
+    params = init_params
+    opt_state = (
+        init_opt_state
+        if init_opt_state is not None
+        else trainer.optimizer.init(params)
+    )
+
+    loss_vec: list[float] = []
+    S = max(1, opt.superbatch)
+
+    for epoch in range(start_epoch, opt.max_epoch):
+        t0 = time.time()
+        recording_now = (epoch + 1) % opt.recording == 0
+        reports = []
+
+        # On recording epochs fall back to one batch per dispatch so the
+        # recorder sees the model state right after each batch's updates,
+        # matching the reference's per-batch recording order
+        # (mmvae_alg.hh:315-317).
+        S_eff = 1 if (recording_now and recorder is not None) else S
+
+        loader = PrefetchLoader(data_block, covar_block, batches,
+                                depth=2 * S_eff)
+        buf: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        counter = 0
+
+        def flush():
+            nonlocal params, opt_state, counter
+            if not buf:
+                return
+            x_sb = np.stack([b[1] for b in buf])
+            c_sb = np.stack([b[2] for b in buf])
+            ids = np.arange(counter, counter + len(buf))
+            params, opt_state, rep = trainer.step(
+                params, opt_state, x_sb, c_sb, epoch, ids
+            )
+            reports.append(rep)
+            if recording_now and recorder is not None:
+                for bidx, x, _ in buf:
+                    recorder.update_on_batch(params, x, bidx)
+            counter += len(buf)
+            buf.clear()
+
+        for item in loader:
+            buf.append(item)
+            if len(buf) == S_eff:
+                flush()
+        flush()
+
+        epoch_losses = np.concatenate([np.asarray(r) for r in reports])
+        epoch_loss = float(epoch_losses.mean())
+        loss_vec.append(epoch_loss)
+        dt = time.time() - t0
+        TLOG(
+            f"[{epoch + 1:>20}] {epoch_loss:>20.6f}"
+            f"  ({nbatch * B / dt:,.0f} cells/sec)"
+        )
+
+        if recording_now and recorder is not None:
+            recorder.update_on_epoch(params, epoch)
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, params, opt_state, loss_vec)
+
+    TLOG("Done training")
+    return params, loss_vec
+
+
+def visit_vae_model(encode_fn, params, visitor, data_block) -> None:
+    """Whole-dataset sweep without training (reference:
+    visit_vae_model, mmvae_alg.hh:162-198)."""
+    ntot = data_block.ntot()
+    B = data_block.size()
+    batches = sequential_batches(ntot, B)
+    TLOG(f"Batch size = {B}, Number of batches = {len(batches)}")
+    for batch in batches:
+        data_block.clear()
+        x = data_block.read(batch)
+        visitor.update_on_batch(params, x, batch)
+    TLOG("Done visit")

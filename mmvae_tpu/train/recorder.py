@@ -1,0 +1,120 @@
+"""Artifact recorder: per-epoch latent posteriors and parameter dumps.
+
+Reproduces the reference's output surface (SURVEY §2.6):
+
+- ``${out}_<epoch>.{mu_mean,mu_lnvar}.gz`` (NB; vMF uses
+  ``latent_mean``/``latent_lnvar``) — N x latent posterior matrices
+  assembled batch-by-batch (reference: nbvae_recorder_t,
+  include/models/nb.hh:569-662);
+- ``${out}_<epoch>_<param>.gz`` — every named parameter as gzipped dense
+  text (reference: nb.hh:599-615, write_tensor mmvae_io.hh:11-28);
+- the mixture recorder additionally writes ``.clust.gz``
+  (vmfnb_mixture.hh:797-804).
+
+Weights are stored (in, out) on device; dumps transpose back to the
+reference's (out, in) orientation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import numpy as np
+
+from ..io.writers import write_data_file
+
+
+def zeropad(t: int, tmax: int) -> str:
+    """Pad ``t`` to the digit width of ``tmax``
+    (reference: utils/util.hh:98-107)."""
+    return str(t).zfill(len(str(tmax)))
+
+
+def flatten_params(params: dict) -> dict[str, np.ndarray]:
+    """Flat {name: array} with reference-style keys and orientation."""
+    out: dict[str, np.ndarray] = {}
+    for name, p in params.items():
+        if isinstance(p, dict):
+            for sub, arr in p.items():
+                a = np.asarray(arr)
+                if sub == "weight" and a.ndim == 2:
+                    a = a.T  # (in, out) -> torch's (out, in)
+                if a.ndim == 3:
+                    # stacked per-component heads (mixture model): emit one
+                    # 2-D entry per leading index
+                    for k in range(a.shape[0]):
+                        ak = a[k].T if sub == "weight" else a[k]
+                        out[f"{name}.{k}.{sub}"] = ak
+                else:
+                    out[f"{name}.{sub}"] = a
+        else:
+            out[name] = np.asarray(p)
+    return out
+
+
+class LatentRecorder:
+    """N x latent posterior collector + artifact writer.
+
+    ``encode_fn(params, x) -> (mean, lnvar)`` is the no-covariate encode
+    (the reference records with ``encode_mu(x)``, nb.hh:628).  Extra
+    per-batch matrices (e.g. mixture assignments) can be captured via
+    ``extra_fn(params, x) -> array`` written as ``.<extra_name>.gz``.
+    """
+
+    def __init__(
+        self,
+        header: str,
+        max_epoch: int,
+        ntot: int,
+        encode_fn: Callable,
+        mean_name: str = "mu_mean",
+        lnvar_name: str = "mu_lnvar",
+        extra_fn: Callable | None = None,
+        extra_name: str = "clust",
+        write_params: bool = True,
+    ):
+        self.header = header
+        self.max_epoch = max_epoch
+        self.ntot = ntot
+        self.encode = jax.jit(encode_fn)
+        self.mean_name = mean_name
+        self.lnvar_name = lnvar_name
+        self.extra_fn = jax.jit(extra_fn) if extra_fn is not None else None
+        self.extra_name = extra_name
+        self.write_params = write_params
+        self.mean_out = np.zeros((ntot, 0), np.float32)
+        self.lnvar_out = np.zeros((ntot, 0), np.float32)
+        self.extra_out = np.zeros((ntot, 0), np.float32)
+
+    def _ensure(self, attr: str, cols: int) -> np.ndarray:
+        mat = getattr(self, attr)
+        if mat.shape[1] < cols:
+            mat = np.zeros((self.ntot, cols), np.float32)
+            setattr(self, attr, mat)
+        return mat
+
+    def update_on_batch(self, params, x, batch) -> None:
+        mean, lnvar = self.encode(params, x)
+        mean = np.asarray(mean)
+        lnvar = np.asarray(lnvar)
+        mean_out = self._ensure("mean_out", mean.shape[1])
+        lnvar_out = self._ensure("lnvar_out", lnvar.shape[1])
+        batch = np.asarray(batch)
+        ok = batch < self.ntot
+        mean_out[batch[ok]] = mean[ok]
+        lnvar_out[batch[ok]] = lnvar[ok]
+        if self.extra_fn is not None:
+            extra = np.asarray(self.extra_fn(params, x))
+            extra_out = self._ensure("extra_out", extra.shape[1])
+            extra_out[batch[ok]] = extra[ok]
+
+    def update_on_epoch(self, params, epoch: int) -> None:
+        tag = f"{self.header}_{zeropad(epoch, self.max_epoch)}"
+        write_data_file(f"{tag}.{self.mean_name}.gz", self.mean_out)
+        write_data_file(f"{tag}.{self.lnvar_name}.gz", self.lnvar_out)
+        if self.extra_fn is not None:
+            write_data_file(f"{tag}.{self.extra_name}.gz", self.extra_out)
+        if self.write_params:
+            for key, arr in flatten_params(params).items():
+                write_data_file(f"{tag}_{key}.gz", arr)

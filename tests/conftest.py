@@ -7,12 +7,20 @@ paths (mmvae_tpu.parallel) compile and execute on one host.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU regardless of ambient JAX_PLATFORMS (the driver presets e.g.
+# "axon" for the real TPU; tests must be deterministic and keep the chip
+# free).  NOTE: in this environment the env var alone is overridden by the
+# TPU plugin — the programmatic config update below is what actually wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
