@@ -11,12 +11,24 @@ cells/sec/chip (the reference publishes no numbers — BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 import jax
+
+# persistent compilation cache: the superbatch step's first compile in a
+# fresh process is expensive; cache it across bench runs
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 
@@ -28,7 +40,7 @@ def main() -> None:
 
     D = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     B = 100          # reference default batch size (mmvae.hh:35)
-    S = 50           # minibatches per dispatch
+    S = 16           # minibatches per dispatch
     NBOOT = 3
 
     model = NBVAE(data_dim=D, covar_dim=1, mean_latent=2)
@@ -39,6 +51,16 @@ def main() -> None:
         lambda p, x, c, k, t: model.forward(p, x, c, k, t),
         lambda x, out, beta: nb_loss(x, out, beta),
         topt,
+        boot_loss_fn=lambda x, out, beta: nb_loss(
+            x, out, beta, include_data_const=False
+        ),
+        # fused Pallas ELBO kernel (decoder + NB likelihood in one pass)
+        report_loss_override=lambda p, x, c, k, b: model.fused_loss(
+            p, x, c, k, b, True, include_data_const=True
+        ),
+        boot_loss_override=lambda p, x, c, k, b: model.fused_loss(
+            p, x, c, k, b, True, include_data_const=False
+        ),
     )
     opt_state = trainer.optimizer.init(params)
 
@@ -46,8 +68,7 @@ def main() -> None:
     # synthetic sparse-ish counts, one superbatch reused (bench measures
     # the compute path; the input pipeline overlaps via prefetch in
     # real runs)
-    x_sb = (rng.poisson(0.12, size=(S, B, D)) *
-            rng.integers(1, 6, size=(S, B, D))).astype(np.float32)
+    x_sb = rng.poisson(0.5, size=(S, B, D)).astype(np.float32)
     c_sb = np.ones((S, B, 1), np.float32)
     x_dev = jnp.asarray(x_sb)
     c_dev = jnp.asarray(c_sb)
@@ -60,7 +81,7 @@ def main() -> None:
     np.asarray(rep)
 
     # timed
-    iters = 6
+    iters = 12
     t0 = time.perf_counter()
     for it in range(iters):
         params, opt_state, rep = trainer._step(

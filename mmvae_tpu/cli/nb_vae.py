@@ -102,15 +102,36 @@ def main(argv=None) -> int:
         mesh = make_mesh()
 
     TLOG("Training the model...")
+    # Fused Pallas ELBO path (default): the decoder + NB likelihood run
+    # in one kernel; gradient steps skip the lgamma(x+1) data constant
+    # (identical gradients).  --no_fused falls back to plain XLA.
+    fused_kw = {}
+    if topt.fused:
+        fused_kw = dict(
+            report_loss_override=lambda p, x, c, k, b: model.fused_loss(
+                p, x, c, k, b, True, include_data_const=True
+            ),
+            boot_loss_override=lambda p, x, c, k, b: model.fused_loss(
+                p, x, c, k, b, True, include_data_const=False
+            ),
+        )
+
     params, scores = train_vae_model(
         forward, recorder, data_block, covar_block, topt,
         lambda x, out, beta: nb_loss(x, out, beta),
         params,
+        # gradient steps skip the lgamma(x+1) data constant (same grads)
+        boot_loss_fn=lambda x, out, beta: nb_loss(
+            x, out, beta, include_data_const=False
+        ),
+        **fused_kw,
         kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
         mesh=mesh,
         start_epoch=start_epoch,
         init_opt_state=init_opt_state,
         on_epoch_end=on_epoch_end,
+        metrics_path=opts.out + ".metrics.jsonl",
+        ondevice=topt.ondevice,
     )
 
     write_vector_file(opts.out + ".scores.gz", prev_losses + scores)

@@ -159,6 +159,8 @@ def main(argv=None) -> int:
         start_epoch=start_epoch,
         init_opt_state=init_opt_state,
         on_epoch_end=on_epoch_end,
+        metrics_path=opts.out + ".metrics.jsonl",
+        ondevice=topt.ondevice,
     )
 
     write_vector_file(opts.out + ".scores.gz", prev_losses + scores)

@@ -180,3 +180,46 @@ class NBVAE:
         return NBVAEOutput(
             recon_mu, recon_nu, depth, mu_mean, mu_lnvar, nu_mean, nu_lnvar
         )
+
+    # ------------------------------------------------------------------
+    def fused_loss(
+        self,
+        params: dict,
+        x: jax.Array,
+        c: jax.Array,
+        key: jax.Array,
+        beta,
+        training: bool = True,
+        include_data_const: bool = True,
+    ) -> jax.Array:
+        """Whole NB-VAE loss with the decoder+likelihood block running in
+        the fused Pallas kernel (:mod:`mmvae_tpu.ops.nb_elbo`).
+
+        Numerically equivalent to ``nb_loss(x, self.forward(...), beta)``
+        up to float reassociation; the kernel avoids materializing the
+        (B, D) softmax/overdispersion intermediates.
+        """
+        from ..ops.losses import gaussian_kl
+        from ..ops.nb_elbo import nb_nllik_fused
+
+        k_mu, k_nu = jax.random.split(key)
+
+        mu_mean, mu_lnvar = self.encode_mu(params, x, c)
+        z_mu = reparameterize(k_mu, mu_mean, mu_lnvar, training)
+        h = apply_stack(params, self._dec_names(), z_mu, self.do_relu,
+                        relu_last=False)
+        h = h + linear_apply(params["covar_decoding"], c) + params["mu_bias"]
+
+        nu_mean, nu_lnvar = self.encode_nu(params, x)
+        z_nu = reparameterize(k_nu, nu_mean, nu_lnvar, training)
+        nu_pre = linear_apply(params["nu_decoding"], z_nu) - params["nu_bias"]
+
+        depth = jax.nn.softplus(linear_apply(params["depth"], x))
+
+        nll = nb_nllik_fused(x, h, nu_pre, depth, include_data_const)
+
+        n = x.shape[0]
+        total = nll
+        total += gaussian_kl(mu_mean, mu_lnvar) * beta
+        total += gaussian_kl(nu_mean, nu_lnvar) * beta
+        return total / n

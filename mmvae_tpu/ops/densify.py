@@ -1,0 +1,75 @@
+"""On-device sparse-column densification.
+
+The reference's in-memory path holds a CSC sparse matrix in host RAM and
+densifies requested columns on the CPU per batch
+(reference: include/mmvae_mem.hh:56-72).  On TPU the roles invert: HBM
+is large and host->device bandwidth is the scarce resource, so the CSC
+arrays live *on device* in a padded-ELL layout and each minibatch is
+densified by an on-device gather+scatter — the only per-batch
+host->device traffic is the (B,) column-index vector.
+
+This also makes fully on-device epochs possible: the sequential
+wrap-around batch schedule is computable inside jit, so an entire
+epoch (input included) runs as one XLA computation
+(see ``Trainer``'s on-device epoch support).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DeviceCSC:
+    """Device-resident sparse matrix in padded-ELL layout.
+
+    Built from the CSC arrays of :class:`mmvae_tpu.data.MtxMemoryBlock`:
+    for each of the N columns, up to ``k_max`` (row, value) pairs, padded
+    with (-1, 0).  Memory: N * k_max * 8 bytes — proportional to the
+    worst column, not to N*D.
+    """
+
+    def __init__(self, rows: np.ndarray, vals: np.ndarray,
+                 indptr: np.ndarray, shape: tuple[int, int]):
+        self.D, self.N = shape
+        counts = np.diff(indptr)
+        self.k_max = int(counts.max()) if len(counts) else 0
+        ell_rows = np.full((self.N, self.k_max), -1, dtype=np.int32)
+        ell_vals = np.zeros((self.N, self.k_max), dtype=np.float32)
+        for j in range(self.N):
+            lo, hi = indptr[j], indptr[j + 1]
+            ell_rows[j, : hi - lo] = rows[lo:hi]
+            ell_vals[j, : hi - lo] = vals[lo:hi]
+        self.ell_rows = jnp.asarray(ell_rows)
+        self.ell_vals = jnp.asarray(ell_vals)
+
+    @classmethod
+    def from_memory_block(cls, block) -> "DeviceCSC":
+        rows, vals, indptr = block.csc_arrays()
+        return cls(rows, vals, indptr, (block.nfeature(), block.ntot()))
+
+    def densify(self, cols: jax.Array) -> jax.Array:
+        """(B,) column ids -> dense (B, D) batch, entirely on device."""
+        return densify_ell(self.ell_rows, self.ell_vals, cols, self.D)
+
+
+def densify_ell(
+    ell_rows: jax.Array, ell_vals: jax.Array, cols: jax.Array, D: int
+) -> jax.Array:
+    """Gather ELL columns and scatter into a zeroed (B, D) batch.
+
+    Duplicate ``cols`` are supported (each batch slot gets its column's
+    values), matching the duplicate-aware host loader
+    (reference: include/mmvae_io.hh:122-131).
+    """
+    r = ell_rows[cols]                      # (B, K) row indices, -1 pad
+    v = ell_vals[cols]                      # (B, K)
+    B, K = r.shape
+    valid = r >= 0
+    r_safe = jnp.where(valid, r, 0)
+    v_safe = jnp.where(valid, v, 0.0)
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K))
+    out = jnp.zeros((B, D), jnp.float32)
+    # scatter-add: padded entries add 0 at [b, 0]
+    return out.at[b_idx, r_safe].add(v_safe)

@@ -48,6 +48,7 @@ def nb_nllik(
     recon_mu: jax.Array,
     recon_nu: jax.Array,
     recon_depth: jax.Array,
+    include_data_const: bool = True,
 ) -> jax.Array:
     """Negative binomial negative log-likelihood, summed over batch x features.
 
@@ -55,24 +56,32 @@ def nb_nllik(
         nu' = nu + eps;  mu' = mu * depth + eps
         lg  = lgamma(nu') + lgamma(x + 1) - lgamma(nu' + x)
         pr  = x (log(mu'+nu') - log mu') + nu' (log(mu'+nu') - log nu')
+
+    ``include_data_const=False`` omits the ``lgamma(x + 1)`` term — a
+    data-only constant with zero parameter gradient.  Gradient-step
+    losses use this (saves a (B, D) lgamma sweep per forward); reported
+    losses keep the full formula for value parity with the reference.
     """
     eps = 1e-4
     nu = recon_nu + eps
     mu = recon_mu * recon_depth + eps
-    lg = jax.lax.lgamma(nu) + jax.lax.lgamma(x + 1.0) - jax.lax.lgamma(nu + x)
+    lg = jax.lax.lgamma(nu) - jax.lax.lgamma(nu + x)
+    if include_data_const:
+        lg = lg + jax.lax.lgamma(x + 1.0)
     denom = jnp.log(mu + nu)
     pr = x * (denom - jnp.log(mu)) + nu * (denom - jnp.log(nu))
     return jnp.sum(lg + pr)
 
 
-def nb_loss(x: jax.Array, out, kl_weight) -> jax.Array:
+def nb_loss(x: jax.Array, out, kl_weight, include_data_const: bool = True) -> jax.Array:
     """Total NB-VAE loss: (NLL + beta*(KL_mu + KL_nu)) / batch.
 
     Reference: ``loss`` (include/models/nb.hh:539-548).  ``out`` is an
     :class:`mmvae_tpu.models.nb.NBVAEOutput`.
     """
     n = x.shape[0]
-    ret = nb_nllik(x, out.recon_mu, out.recon_nu, out.recon_depth)
+    ret = nb_nllik(x, out.recon_mu, out.recon_nu, out.recon_depth,
+                   include_data_const)
     ret += gaussian_kl(out.mu_mean, out.mu_lnvar) * kl_weight
     ret += gaussian_kl(out.nu_mean, out.nu_lnvar) * kl_weight
     return ret / n

@@ -95,10 +95,12 @@ class TrainingOptions:
     weight_decay: float = 1e-4  # hard-coded in the reference (mmvae_alg.hh:236)
     # TPU-native additions (no reference analog):
     superbatch: int = 8          # minibatches fused per jit dispatch
+    fused: bool = True           # use the fused Pallas ELBO kernel (NB model)
     seed: int = 0                # deterministic PRNG (reference: random_device)
     resume: str = ""             # checkpoint directory to resume from
     checkpoint_dir: str = ""     # where to write checkpoints ("" = off)
     data_parallel: bool = False  # shard the batch over all local devices
+    ondevice: bool = False       # device-resident sparse data, on-device epochs
 
     @staticmethod
     def add_args(p: argparse.ArgumentParser) -> None:
@@ -111,16 +113,22 @@ class TrainingOptions:
                        default=101)
         p.add_argument("--recording", type=int, default=10)
         p.add_argument("--superbatch", type=int, default=8)
+        p.add_argument("--fused", dest="fused", action="store_true",
+                       default=True)
+        p.add_argument("--no_fused", dest="fused", action="store_false")
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--resume", type=str, default="")
         p.add_argument("--checkpoint_dir", type=str, default="")
         p.add_argument("--data_parallel", action="store_true")
+        p.add_argument("--ondevice", action="store_true")
 
     @classmethod
     def from_args(cls, ns: argparse.Namespace) -> "TrainingOptions":
         return cls(
             lr=ns.lr, grad_clip=ns.grad_clip, nboot=ns.nboot,
             max_epoch=ns.max_epoch, recording=ns.recording,
-            superbatch=ns.superbatch, seed=ns.seed, resume=ns.resume,
+            superbatch=ns.superbatch, fused=ns.fused, seed=ns.seed,
+            resume=ns.resume,
             checkpoint_dir=ns.checkpoint_dir, data_parallel=ns.data_parallel,
+            ondevice=ns.ondevice,
         )

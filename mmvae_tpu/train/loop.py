@@ -35,6 +35,8 @@ import optax
 from ..data.pipeline import PrefetchLoader, sequential_batches
 from ..ops.losses import kl_weight_schedule
 from ..utils.logging import TLOG
+from ..utils.metrics import MetricsLogger
+from ..utils.profiling import StepTimer, annotate
 from .config import TrainingOptions
 
 
@@ -70,9 +72,21 @@ class Trainer:
         opt: TrainingOptions,
         kl: tuple[float, float, float] = (1.0, 1e-2, 0.1),
         mesh=None,
+        boot_loss_fn: Callable | None = None,
+        report_loss_override: Callable | None = None,
+        boot_loss_override: Callable | None = None,
     ):
         self.forward = forward
         self.loss_fn = loss_fn
+        # Gradient steps may use a cheaper loss that differs from the
+        # reported one only by parameter-independent constants (identical
+        # gradients => identical trajectory).
+        self.boot_loss_fn = boot_loss_fn if boot_loss_fn is not None else loss_fn
+        # Full overrides with signature (params, x, c, key, beta) -> scalar
+        # let models supply fused forward+loss implementations (e.g. the
+        # Pallas NB ELBO kernel) that bypass the forward/loss split.
+        self._report_override = report_loss_override
+        self._boot_override = boot_loss_override
         self.opt = opt
         self.kl_max, self.kl_min, self.kl_discount = kl
         self.optimizer = make_optimizer(opt)
@@ -94,8 +108,11 @@ class Trainer:
 
         # reporting loss: train-mode forward on the sequential batch,
         # no gradient step (mmvae_alg.hh:277-285)
-        out = self.forward(params, x, c, k_rep, True)
-        report = self.loss_fn(x, out, beta)
+        if self._report_override is not None:
+            report = self._report_override(params, x, c, k_rep, beta)
+        else:
+            out = self.forward(params, x, c, k_rep, True)
+            report = self.loss_fn(x, out, beta)
 
         B = x.shape[0]
 
@@ -108,9 +125,13 @@ class Trainer:
             xb = jnp.take(x, ridx, axis=0)
             cb = jnp.take(c, ridx, axis=0) if c is not None else None
 
-            def lf(p):
-                o = self.forward(p, xb, cb, k_fwd, True)
-                return self.loss_fn(xb, o, beta)
+            if self._boot_override is not None:
+                def lf(p):
+                    return self._boot_override(p, xb, cb, k_fwd, beta)
+            else:
+                def lf(p):
+                    o = self.forward(p, xb, cb, k_fwd, True)
+                    return self.boot_loss_fn(xb, o, beta)
 
             grads = jax.grad(lf)(params)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
@@ -140,6 +161,52 @@ class Trainer:
             scan_body, (params, opt_state), (x_sb, c_sb, batch_ids)
         )
         return params, opt_state, reports
+
+    # ------------------------------------------------------------------
+    def make_ondevice_epoch(self, data_csc, covar_csc, ntot: int, B: int,
+                            covar_dim: int = 1):
+        """Compile a whole-epoch step for device-resident sparse data.
+
+        The sequential wrap-around batch schedule
+        (mmvae_alg.hh:261-266) is computed inside jit and each batch is
+        densified on device (:mod:`mmvae_tpu.ops.densify`), so an entire
+        epoch — input pipeline included — is one XLA computation with
+        zero per-batch host traffic.  PRNG keys derive identically to
+        the host-driven path, so trajectories are bit-identical.
+        """
+        nbatch = ntot // B + (1 if ntot % B else 0)
+
+        def epoch_fn(params, opt_state, epoch_f, base_key):
+            ekey = jax.random.fold_in(base_key,
+                                      jnp.asarray(epoch_f, jnp.int32))
+
+            def scan_body(carry, b):
+                params, opt_state = carry
+                cols = (b * B + jnp.arange(B, dtype=jnp.int32)) % ntot
+                x = data_csc.densify(cols)
+                if covar_csc is not None:
+                    c = covar_csc.densify(cols)
+                else:
+                    c = jnp.ones((B, covar_dim), jnp.float32)
+                key = jax.random.fold_in(ekey, b)
+                params, opt_state, rep = self._batch_step(
+                    params, opt_state, x, c, epoch_f, key
+                )
+                return (params, opt_state), rep
+
+            (params, opt_state), reps = jax.lax.scan(
+                scan_body, (params, opt_state),
+                jnp.arange(nbatch, dtype=jnp.int32),
+            )
+            return params, opt_state, reps
+
+        jitted = jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+        def run(params, opt_state, epoch: int):
+            return jitted(params, opt_state, jnp.float32(epoch),
+                          self._base_key)
+
+        return run
 
     # ------------------------------------------------------------------
     def _put(self, arr: np.ndarray):
@@ -176,8 +243,19 @@ def train_vae_model(
     start_epoch: int = 0,
     init_opt_state=None,
     on_epoch_end: Callable | None = None,
+    boot_loss_fn: Callable | None = None,
+    report_loss_override: Callable | None = None,
+    boot_loss_override: Callable | None = None,
+    metrics_path: str | None = None,
+    ondevice: bool = False,
 ) -> tuple[dict, list[float]]:
     """The high-level training loop (reference: mmvae_alg.hh:200-338).
+
+    With ``ondevice=True`` the data/covariate blocks are loaded once into
+    device-resident sparse (ELL) arrays and non-recording epochs run as a
+    single on-device XLA computation (same trajectories — the PRNG
+    schedule is identical).  Recording epochs fall back to the host path
+    so the recorder can observe per-batch state.
 
     Returns (trained params, per-epoch mean loss vector).
     """
@@ -192,7 +270,10 @@ def train_vae_model(
     nbatch = len(batches)
     TLOG(f"Batch size = {B}, Number of batches = {nbatch}")
 
-    trainer = Trainer(forward, loss_fn, opt, kl, mesh=mesh)
+    trainer = Trainer(forward, loss_fn, opt, kl, mesh=mesh,
+                      boot_loss_fn=boot_loss_fn,
+                      report_loss_override=report_loss_override,
+                      boot_loss_override=boot_loss_override)
     params = init_params
     opt_state = (
         init_opt_state
@@ -202,11 +283,51 @@ def train_vae_model(
 
     loss_vec: list[float] = []
     S = max(1, opt.superbatch)
+    metrics = MetricsLogger(metrics_path)
+    timer = StepTimer()
+
+    epoch_runner = None
+    if ondevice:
+        from ..ops.densify import DeviceCSC
+
+        TLOG("Loading data on device (ELL layout)")
+        data_csc = DeviceCSC.from_memory_block(_as_memory_block(data_block))
+        covar_csc = None
+        covar_dim = covar_block.nfeature()
+        if not _is_all_ones(covar_block):
+            covar_csc = DeviceCSC.from_memory_block(
+                _as_memory_block(covar_block)
+            )
+        epoch_runner = trainer.make_ondevice_epoch(
+            data_csc, covar_csc, ntot, B, covar_dim
+        )
 
     for epoch in range(start_epoch, opt.max_epoch):
         t0 = time.time()
+        timer.reset()
         recording_now = (epoch + 1) % opt.recording == 0
         reports = []
+
+        if epoch_runner is not None and not (
+            recording_now and recorder is not None
+        ):
+            with timer.phase("step"), annotate("ondevice_epoch"):
+                params, opt_state, rep = epoch_runner(params, opt_state, epoch)
+            epoch_loss = float(np.asarray(rep).mean())
+            loss_vec.append(epoch_loss)
+            dt = time.time() - t0
+            TLOG(
+                f"[{epoch + 1:>20}] {epoch_loss:>20.6f}"
+                f"  ({nbatch * B / dt:,.0f} cells/sec, on-device)"
+            )
+            metrics.log_epoch(
+                epoch, loss=epoch_loss,
+                kl_weight=float(kl_weight_schedule(epoch, kl[0], kl[1], kl[2])),
+                cells_per_sec=round(nbatch * B / dt, 1), ondevice=True,
+            )
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, params, opt_state, loss_vec)
+            continue
 
         # On recording epochs fall back to one batch per dispatch so the
         # recorder sees the model state right after each batch's updates,
@@ -223,20 +344,28 @@ def train_vae_model(
             nonlocal params, opt_state, counter
             if not buf:
                 return
-            x_sb = np.stack([b[1] for b in buf])
-            c_sb = np.stack([b[2] for b in buf])
-            ids = np.arange(counter, counter + len(buf))
-            params, opt_state, rep = trainer.step(
-                params, opt_state, x_sb, c_sb, epoch, ids
-            )
-            reports.append(rep)
+            with timer.phase("step"), annotate("train_step"):
+                x_sb = np.stack([b[1] for b in buf])
+                c_sb = np.stack([b[2] for b in buf])
+                ids = np.arange(counter, counter + len(buf))
+                params, opt_state, rep = trainer.step(
+                    params, opt_state, x_sb, c_sb, epoch, ids
+                )
+                reports.append(rep)
             if recording_now and recorder is not None:
-                for bidx, x, _ in buf:
-                    recorder.update_on_batch(params, x, bidx)
+                with timer.phase("record"):
+                    for bidx, x, _ in buf:
+                        recorder.update_on_batch(params, x, bidx)
             counter += len(buf)
             buf.clear()
 
-        for item in loader:
+        with timer.phase("input"), annotate("input_pipeline"):
+            it = iter(loader)
+        while True:
+            with timer.phase("input"):
+                item = next(it, None)
+            if item is None:
+                break
             buf.append(item)
             if len(buf) == S_eff:
                 flush()
@@ -250,6 +379,15 @@ def train_vae_model(
             f"[{epoch + 1:>20}] {epoch_loss:>20.6f}"
             f"  ({nbatch * B / dt:,.0f} cells/sec)"
         )
+        metrics.log_epoch(
+            epoch,
+            loss=epoch_loss,
+            kl_weight=float(
+                kl_weight_schedule(epoch, kl[0], kl[1], kl[2])
+            ),
+            cells_per_sec=round(nbatch * B / dt, 1),
+            **{f"time_{k}": round(v, 4) for k, v in timer.summary().items()},
+        )
 
         if recording_now and recorder is not None:
             recorder.update_on_epoch(params, epoch)
@@ -258,6 +396,27 @@ def train_vae_model(
 
     TLOG("Done training")
     return params, loss_vec
+
+
+def _as_memory_block(block):
+    """Coerce a data block to an in-memory block (needed for on-device
+    loading of an out-of-core block)."""
+    from ..data.block import MtxDataBlock, MtxMemoryBlock
+
+    if isinstance(block, MtxDataBlock):
+        return MtxMemoryBlock(block.mtx_file, block.idx_file, block.B)
+    return block
+
+
+def _is_all_ones(covar_block) -> bool:
+    """True for the auto-generated 1 x N all-ones covariate
+    (create_ones_like, mmvae_io.hh:293-310)."""
+    if covar_block.nfeature() != 1:
+        return False
+    cols = np.arange(covar_block.size(), dtype=np.int64) % covar_block.ntot()
+    probe = covar_block.read(cols).copy()
+    covar_block.clear()
+    return bool((probe == 1.0).all())
 
 
 def visit_vae_model(encode_fn, params, visitor, data_block) -> None:

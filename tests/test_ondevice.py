@@ -1,0 +1,70 @@
+"""On-device epoch path: bit-identical trajectories vs the host path."""
+
+import numpy as np
+import pytest
+
+from mmvae_tpu.data import MtxDataBlock, MtxMemoryBlock, create_ones_like
+from mmvae_tpu.io.index import build_mmutil_index
+from mmvae_tpu.models.nb import NBVAE
+from mmvae_tpu.ops.losses import nb_loss
+from mmvae_tpu.train.config import TrainingOptions
+from mmvae_tpu.train.loop import train_vae_model
+
+import jax
+
+
+@pytest.fixture()
+def setup(mtx_file, tmp_path):
+    path, idx, dens = mtx_file
+    B = 16
+    data = MtxDataBlock(path, idx, B)
+    cov_path = str(tmp_path / "cov.mtx.gz")
+    create_ones_like(data, cov_path)
+    cov_idx = build_mmutil_index(cov_path)
+    covar = MtxDataBlock(cov_path, cov_idx, B)
+    model = NBVAE(data_dim=dens.shape[0], covar_dim=1)
+    return data, covar, model
+
+
+def _train(data, covar, model, ondevice, epochs=3):
+    topt = TrainingOptions(nboot=2, max_epoch=epochs, recording=100,
+                           superbatch=3, seed=0)
+    params = model.init(jax.random.PRNGKey(0))
+    params, losses = train_vae_model(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        None, data, covar, topt,
+        lambda x, out, beta: nb_loss(x, out, beta),
+        params, ondevice=ondevice,
+    )
+    return params, losses
+
+
+def test_ondevice_matches_host_trajectory(setup):
+    data, covar, model = setup
+    p_host, l_host = _train(data, covar, model, ondevice=False)
+    p_dev, l_dev = _train(data, covar, model, ondevice=True)
+    np.testing.assert_allclose(l_host, l_dev, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_host),
+                    jax.tree_util.tree_leaves(p_dev)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_ondevice_with_recording(setup, tmp_path):
+    """Recording epochs fall back to the host path and still record."""
+    from mmvae_tpu.train.recorder import LatentRecorder
+
+    data, covar, model = setup
+    topt = TrainingOptions(nboot=1, max_epoch=2, recording=2,
+                           superbatch=2, seed=0)
+    params = model.init(jax.random.PRNGKey(0))
+    rec = LatentRecorder(str(tmp_path / "hdr"), 2, data.ntot(),
+                         encode_fn=lambda p, x: model.encode_mu(p, x))
+    params, losses = train_vae_model(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        rec, data, covar, topt,
+        lambda x, out, beta: nb_loss(x, out, beta),
+        params, ondevice=True,
+    )
+    assert len(losses) == 2
+    assert (tmp_path / "hdr_1.mu_mean.gz").exists()
