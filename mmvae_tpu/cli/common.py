@@ -9,14 +9,15 @@ from __future__ import annotations
 import argparse
 import os
 
-# Honor JAX_PLATFORMS even where the ambient TPU plugin overrides the env
-# var (it does in this image): apply it programmatically before any
-# backend initialization.
-if os.environ.get("JAX_PLATFORMS"):
+# Honor JAX_PLATFORMS=cpu even where the ambient TPU plugin overrides the
+# env var (it does in this image): apply it programmatically before any
+# backend initialization.  Other values (e.g. the plugin's own name) are
+# left to the plugin's native selection.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
     import jax
 
     try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        jax.config.update("jax_platforms", "cpu")
     except Exception:  # pragma: no cover - already initialized
         pass
 
