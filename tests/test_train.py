@@ -279,6 +279,19 @@ class TestCLI:
             "--batch_size", "40", "--checkpoint_dir", ckpt,
         ])
         assert r.returncode == 0, r.stderr[-2000:]
+        # post-hoc whole-dataset encode from the checkpoint
+        r = _run_cli("mmvae_tpu.cli.encode", [
+            "--model", "nb", "--mtx", train_mtx,
+            "--checkpoint", ckpt, "--out", str(tmp_path / "enc"),
+            "--batch_size", "40",
+        ])
+        assert r.returncode == 0, r.stderr[-2000:]
+        import numpy as np
+        from mmvae_tpu.io.writers import read_data_file
+
+        enc = read_data_file(str(tmp_path / "enc.mu_mean.gz"))
+        assert enc.shape == (80, 2)
+        assert np.isfinite(enc).all()
         r = _run_cli("mmvae_tpu.cli.nb_vae", [
             "--mtx", train_mtx, "--out", out, "--max_epoch", "4",
             "--batch_size", "40", "--resume", ckpt,
