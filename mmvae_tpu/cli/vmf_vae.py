@@ -44,6 +44,7 @@ def main(argv=None) -> int:
 
     opts = MMVaeOptions.from_args(ns)
     topt = TrainingOptions.from_args(ns)
+    topt.apply_runtime_config()
 
     data_block, covar_block = prepare_blocks(opts)
 

@@ -165,21 +165,33 @@ class MtxMemoryBlock:
     Reference: ``mmvae::mtx_memory_block_t`` (include/mmvae_mem.hh:17-170).
     """
 
-    def __init__(self, mtx_file: str | os.PathLike, idx_file: str | os.PathLike,
-                 batch_size: int):
+    def __init__(self, mtx_file: str | os.PathLike,
+                 idx_file: str | os.PathLike = "",
+                 batch_size: int = 100):
         self.mtx_file = os.fspath(mtx_file)
-        self.idx_file = os.fspath(idx_file)
+        self.idx_file = os.fspath(idx_file) if idx_file else ""
         self.B = int(batch_size)
-        info = peek_mtx_header(self.mtx_file)
-        self.D = info.rows
-        self.N = info.cols
-        from ..io.mtx import header_end_voffset
+        from ..io.bgzf import is_bgzf
+        from ..io.mtx import header_end_voffset, read_mtx_any
 
-        data_start = header_end_voffset(self.mtx_file)
-        if native.available():
-            rows, cols, vals = native.read_block(self.mtx_file, data_start, LAST_POS)
+        if is_bgzf(self.mtx_file):
+            info = peek_mtx_header(self.mtx_file)
+            self.D, self.N = info.rows, info.cols
+            data_start = header_end_voffset(self.mtx_file)
+            if native.available():
+                rows, cols, vals = native.read_block(
+                    self.mtx_file, data_start, LAST_POS
+                )
+            else:
+                rows, cols, vals = read_mtx_block(
+                    self.mtx_file, data_start, LAST_POS
+                )
         else:
-            rows, cols, vals = read_mtx_block(self.mtx_file, data_start, LAST_POS)
+            # plain gzip / uncompressed .mtx: no random access, but the
+            # in-memory path only needs one full read
+            # (reference: visit_matrix_market_file, io_alg.hh:216-236)
+            info, rows, cols, vals = read_mtx_any(self.mtx_file)
+            self.D, self.N = info.rows, info.cols
         # CSC layout: column-sorted triplets -> indptr by column
         order = np.lexsort((rows, cols))
         self._rows = rows[order].astype(np.int64)

@@ -155,6 +155,55 @@ def visit_mtx_triplets(
             )
 
 
+def sniff_format(path: str | os.PathLike) -> str:
+    """'bgzf' | 'gz' | 'plain' — the reference's stream dispatch
+    (include/io_alg.hh:218-236)."""
+    from .bgzf import is_bgzf
+
+    if is_bgzf(path):
+        return "bgzf"
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    return "gz" if magic == b"\x1f\x8b" else "plain"
+
+
+def read_mtx_any(
+    path: str | os.PathLike,
+) -> tuple[MtxHeader, np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-file triplet read for bgzf, plain-gzip, or uncompressed .mtx.
+
+    Only BGZF supports random access (and hence out-of-core blocks);
+    this reader exists for in-memory loading of any MatrixMarket file,
+    mirroring ``visit_matrix_market_file`` (include/io_alg.hh:216-236).
+    """
+    import gzip as _gzip
+
+    fmt = sniff_format(path)
+    if fmt == "bgzf":
+        hdr = peek_mtx_header(path)
+        rows, cols, vals = read_mtx_block(path, header_end_voffset(path),
+                                          LAST_POS)
+        return hdr, rows, cols, vals
+    opener = _gzip.open if fmt == "gz" else open
+    with opener(path, "rb") as f:
+        data = f.read()
+    lines = data.split(b"\n")
+    hdr = None
+    body_start = 0
+    for i, ln in enumerate(lines):
+        if not ln or ln.startswith(b"%"):
+            continue
+        parts = ln.split()
+        if len(parts) == 3:
+            hdr = MtxHeader(int(parts[0]), int(parts[1]), int(parts[2]))
+            body_start = i + 1
+            break
+    if hdr is None:
+        raise ValueError(f"{path}: no MatrixMarket header found")
+    rows, cols, vals = parse_triplet_text(b"\n".join(lines[body_start:]))
+    return hdr, rows, cols, vals
+
+
 def read_mtx_block(
     path: str | os.PathLike,
     beg_voffset: int,

@@ -101,6 +101,7 @@ class TrainingOptions:
     checkpoint_dir: str = ""     # where to write checkpoints ("" = off)
     data_parallel: bool = False  # shard the batch over all local devices
     ondevice: bool = False       # device-resident sparse data, on-device epochs
+    debug_nans: bool = False     # jax_debug_nans (SURVEY §5.2 analog)
 
     @staticmethod
     def add_args(p: argparse.ArgumentParser) -> None:
@@ -121,6 +122,7 @@ class TrainingOptions:
         p.add_argument("--checkpoint_dir", type=str, default="")
         p.add_argument("--data_parallel", action="store_true")
         p.add_argument("--ondevice", action="store_true")
+        p.add_argument("--debug_nans", action="store_true")
 
     @classmethod
     def from_args(cls, ns: argparse.Namespace) -> "TrainingOptions":
@@ -130,5 +132,12 @@ class TrainingOptions:
             superbatch=ns.superbatch, fused=ns.fused, seed=ns.seed,
             resume=ns.resume,
             checkpoint_dir=ns.checkpoint_dir, data_parallel=ns.data_parallel,
-            ondevice=ns.ondevice,
+            ondevice=ns.ondevice, debug_nans=ns.debug_nans,
         )
+
+    def apply_runtime_config(self) -> None:
+        """Apply process-level debugging knobs (call once in CLI mains)."""
+        if self.debug_nans:
+            import jax
+
+            jax.config.update("jax_debug_nans", True)

@@ -1,0 +1,62 @@
+"""Plain-gzip and uncompressed MatrixMarket support (in-memory path)."""
+
+import gzip
+
+import numpy as np
+
+from mmvae_tpu.data import MtxMemoryBlock
+from mmvae_tpu.io.mtx import read_mtx_any, sniff_format
+from tests.conftest import make_count_matrix
+
+
+def _write_plain(path, rr, cc, vv, shape, compress=False):
+    lines = ["%%MatrixMarket matrix coordinate integer general",
+             f"{shape[0]} {shape[1]} {len(vv)}"]
+    order = np.lexsort((rr, cc))
+    for k in order:
+        lines.append(f"{rr[k] + 1} {cc[k] + 1} {vv[k]:g}")
+    data = ("\n".join(lines) + "\n").encode()
+    if compress:
+        with gzip.open(path, "wb") as f:
+            f.write(data)
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+def test_sniff_format(tmp_path, rng, mtx_file):
+    bgzf_path, _, _ = mtx_file
+    assert sniff_format(bgzf_path) == "bgzf"
+    rr, cc, vv, dens = make_count_matrix(rng, 10, 20)
+    gz = str(tmp_path / "a.mtx.gz")
+    plain = str(tmp_path / "a.mtx")
+    _write_plain(gz, rr, cc, vv, dens.shape, compress=True)
+    _write_plain(plain, rr, cc, vv, dens.shape, compress=False)
+    assert sniff_format(gz) == "gz"
+    assert sniff_format(plain) == "plain"
+
+
+def test_read_any_all_formats(tmp_path, rng, mtx_file):
+    bgzf_path, _, dens_b = mtx_file
+    hdr, rows, cols, vals = read_mtx_any(bgzf_path)
+    got = np.zeros((hdr.rows, hdr.cols), np.float32)
+    got[rows, cols] = vals
+    assert np.array_equal(got, dens_b)
+
+    rr, cc, vv, dens = make_count_matrix(rng, 15, 25)
+    for name, compress in [("p.mtx", False), ("p.mtx.gz", True)]:
+        path = str(tmp_path / name)
+        _write_plain(path, rr, cc, vv, dens.shape, compress)
+        hdr, rows, cols, vals = read_mtx_any(path)
+        got = np.zeros((15, 25), np.float32)
+        got[rows, cols] = vals
+        assert np.array_equal(got, dens)
+
+
+def test_memory_block_plain_gzip(tmp_path, rng):
+    rr, cc, vv, dens = make_count_matrix(rng, 15, 25)
+    path = str(tmp_path / "m.mtx.gz")
+    _write_plain(path, rr, cc, vv, dens.shape, compress=True)
+    mb = MtxMemoryBlock(path, batch_size=6)
+    got = mb.read(np.array([0, 5, 24, 5, 1, 2]))
+    assert np.array_equal(got, dens[:, [0, 5, 24, 5, 1, 2]].T)
