@@ -284,11 +284,113 @@ int64_t mmvae_read_block(const char *path, int64_t beg, int64_t end,
     return n;
 }
 
+// Fast triplet scan over a contiguous byte range (one or more whole
+// lines).  Parses "row col value" with a hand-rolled number reader
+// (integer fast path, simple decimals; strtod only for exponents),
+// looks the column up, and scatters.  Returns scatter count.
+struct BatchScatter {
+    const int64_t *ucols;
+    int64_t nu;
+    const int64_t *dup_start;
+    const int64_t *dup_flat;
+    int64_t D;
+    float *out;
+    int64_t cmin, cmax;
+    bool contiguous;  // ucols == [cmin..cmax] -> direct indexing
+    int64_t nwritten = 0;
+
+    inline void init() {
+        cmin = nu > 0 ? ucols[0] : 0;
+        cmax = nu > 0 ? ucols[nu - 1] : -1;
+        contiguous = nu > 0 && (cmax - cmin + 1 == nu);
+    }
+
+    inline void emit(int64_t r, int64_t c, float w) {
+        if (c < cmin || c > cmax) return;
+        int64_t k;
+        if (contiguous) {
+            k = c - cmin;
+        } else {
+            int64_t lo = 0, hi = nu;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (ucols[mid] < c)
+                    lo = mid + 1;
+                else
+                    hi = mid;
+            }
+            if (lo >= nu || ucols[lo] != c) return;
+            k = lo;
+        }
+        for (int64_t t = dup_start[k]; t < dup_start[k + 1]; ++t) {
+            out[dup_flat[t] * D + r] = w;
+            ++nwritten;
+        }
+    }
+
+    // scan complete lines in [p, end); returns pointer past the last
+    // complete line consumed ('\n' inclusive)
+    const char *scan(const char *p, const char *end) {
+        while (p < end) {
+            const char *nl =
+                (const char *)memchr(p, '\n', (size_t)(end - p));
+            if (!nl) break;
+            parse_line(p, nl);
+            p = nl + 1;
+        }
+        return p;
+    }
+
+    inline void parse_line(const char *p, const char *end) {
+        if (p >= end || *p == '%') return;
+        int64_t r = 0, c = 0;
+        // row
+        while (p < end && (*p == ' ' || *p == '\t')) ++p;
+        const char *q = p;
+        while (p < end && *p >= '0' && *p <= '9') r = r * 10 + (*p++ - '0');
+        if (p == q) return;
+        // col
+        while (p < end && (*p == ' ' || *p == '\t')) ++p;
+        q = p;
+        while (p < end && *p >= '0' && *p <= '9') c = c * 10 + (*p++ - '0');
+        if (p == q) return;
+        // value: integer fast path, then ".ddd", strtod for the rest
+        while (p < end && (*p == ' ' || *p == '\t')) ++p;
+        if (p >= end) return;
+        bool neg = false;
+        if (*p == '-') { neg = true; ++p; }
+        double w = 0.0;
+        q = p;
+        while (p < end && *p >= '0' && *p <= '9') w = w * 10.0 + (*p++ - '0');
+        if (p < end && *p == '.') {
+            ++p;
+            double frac = 0.0, scale = 1.0;
+            while (p < end && *p >= '0' && *p <= '9') {
+                frac = frac * 10.0 + (*p - '0');
+                scale *= 10.0;
+                ++p;
+            }
+            w += frac / scale;
+        }
+        if (p < end && (*p == 'e' || *p == 'E')) {
+            // rare path: re-parse with strtod from q
+            char *qq = nullptr;
+            w = strtod(q, &qq);
+        } else if (p == q) {
+            return;
+        }
+        if (neg) w = -w;
+        emit(r - 1, c - 1, (float)w);
+    }
+};
+
 // The fused per-minibatch hot loop: read every [beg, end) block range,
 // and for each triplet (r, c, w) whose column is requested, scatter w
 // into out[j * D + r] for every batch slot j owning column c
 // (duplicate-aware, mirroring _mem_reader_t + dup lists,
-// include/mmvae_io.hh:102-140, 208-245).
+// include/mmvae_io.hh:102-140, 208-245).  The scan runs IN PLACE over
+// each inflated BGZF block (no per-line copy), with a small carry
+// buffer for lines straddling block boundaries.
 //
 //   ucols[nu]      : sorted unique requested columns
 //   dup_start[nu+1]: CSR offsets into dup_flat
@@ -304,46 +406,95 @@ int64_t mmvae_read_batch(const char *path, const int64_t *begs,
     BgzfIn in;
     if (!in.open(path)) return -1;
 
-    const int64_t cmin = nu > 0 ? ucols[0] : 0;
-    const int64_t cmax = nu > 0 ? ucols[nu - 1] : -1;
+    BatchScatter sc{ucols, nu, dup_start, dup_flat, D, out};
+    sc.init();
 
-    int64_t nwritten = 0;
-    std::string line;
+    std::string carry;
     for (int64_t b = 0; b < nblocks; ++b) {
         in.seek_voffset(begs[b]);
-        const int64_t end = ends[b];
-        while (in.getline(line)) {
-            if (!line.empty() && line[0] != '%') {
-                int64_t r, c;
-                double w;
-                if (parse_triplet(line.c_str(), line.c_str() + line.size(), r,
-                                  c, w)) {
-                    --r;
-                    --c;
-                    if (c >= cmin && c <= cmax) {
-                        // branchless-ish binary search over ucols
-                        int64_t lo = 0, hi = nu;
-                        while (lo < hi) {
-                            int64_t mid = (lo + hi) >> 1;
-                            if (ucols[mid] < c)
-                                lo = mid + 1;
-                            else
-                                hi = mid;
-                        }
-                        if (lo < nu && ucols[lo] == c) {
-                            for (int64_t t = dup_start[lo];
-                                 t < dup_start[lo + 1]; ++t) {
-                                out[dup_flat[t] * D + r] = (float)w;
-                                ++nwritten;
-                            }
-                        }
+        const int64_t end_vo = ends[b];
+        carry.clear();
+        for (;;) {
+            if (in.within >= in.ubuf.size()) {
+                if (!in.advance_block() || in.ubuf.empty()) break;
+            }
+            const char *base = (const char *)in.ubuf.data();
+            const char *bb = base + in.within;
+            const char *be = base + in.ubuf.size();
+            // bound the scan inside this block when the end voffset
+            // lands in it (end semantics: stop after the line whose
+            // post-read offset reaches end; a line straddling end is
+            // included via the carry path)
+            bool last_block = false;
+            if (end_vo != LAST_POS) {
+                int64_t end_co = end_vo >> 16;
+                int64_t end_uo = end_vo & 0xffff;
+                if (in.block_coffset == end_co) {
+                    const char *lim = base + (size_t)end_uo;
+                    if (lim <= be) {
+                        be = lim;
+                        last_block = true;
                     }
                 }
+                else if (in.block_coffset > end_co) {
+                    last_block = true;
+                    // finish any carried partial line then stop
+                }
             }
-            if (end != LAST_POS && in.tell_voffset() >= end) break;
+            if (!carry.empty()) {
+                const char *nl = (const char *)memchr(bb, '\n',
+                                                      (size_t)(be - bb));
+                if (nl) {
+                    carry.append(bb, (size_t)(nl - bb));
+                    sc.parse_line(carry.c_str(),
+                                  carry.c_str() + carry.size());
+                    carry.clear();
+                    bb = nl + 1;
+                } else {
+                    carry.append(bb, (size_t)(be - bb));
+                    in.within = (size_t)(be - base);
+                    if (last_block) {
+                        // partial line straddles the end offset: the
+                        // reference includes it, so finish it
+                        std::string rest;
+                        if (in.getline(rest)) {
+                            carry += rest;
+                            sc.parse_line(carry.c_str(),
+                                          carry.c_str() + carry.size());
+                        }
+                        carry.clear();
+                        break;
+                    }
+                    in.within = in.ubuf.size();
+                    continue;
+                }
+            }
+            const char *done = sc.scan(bb, be);
+            if (done < be) carry.assign(done, (size_t)(be - done));
+            in.within = (size_t)(be - base);
+            if (last_block) {
+                if (!carry.empty()) {
+                    // the line straddles the end offset: finish it from
+                    // the remainder of the stream (reference includes it)
+                    in.within = (size_t)(be - base);
+                    std::string rest;
+                    if (in.getline(rest)) {
+                        carry += rest;
+                        sc.parse_line(carry.c_str(),
+                                      carry.c_str() + carry.size());
+                    }
+                    carry.clear();
+                }
+                break;
+            }
+            if (in.within >= in.ubuf.size()) in.within = in.ubuf.size();
+        }
+        if (!carry.empty()) {
+            sc.parse_line(carry.c_str(), carry.c_str() + carry.size());
+            carry.clear();
         }
     }
-    return nwritten;
+    return sc.nwritten;
 }
 
 }  // extern "C"

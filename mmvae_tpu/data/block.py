@@ -127,6 +127,14 @@ class MtxDataBlock:
         receives the value (reference: dup lists,
         include/mmvae_io.hh:208-245).
         """
+        return self.read_into(subcol, self._mem)
+
+    def read_into(self, subcol, out: np.ndarray) -> np.ndarray:
+        """Stateless variant of :meth:`read`: scatter into a caller
+        buffer (must be zeroed, (B, D) float32 C-contiguous).  Touches no
+        shared mutable state, so concurrent calls with distinct buffers
+        are safe — the multi-threaded prefetch loader relies on this
+        (the native extension releases the GIL for the whole read)."""
         subcol = np.asarray(subcol, dtype=np.int64)
         assert len(subcol) == self.B, f"Need the columns for {self.B} samples"
 
@@ -144,7 +152,7 @@ class MtxDataBlock:
 
         if self._use_native:
             native.read_batch(
-                self.mtx_file, begs, ends, ucols, dup_start, dup_flat, self._mem
+                self.mtx_file, begs, ends, ucols, dup_start, dup_flat, out
             )
         else:
             col2k = {int(c): k for k, c in enumerate(ucols)}
@@ -155,8 +163,8 @@ class MtxDataBlock:
                     if k is None:
                         continue
                     for j in dup_flat[dup_start[k]: dup_start[k + 1]]:
-                        self._mem[j, r] = w
-        return self._mem
+                        out[j, r] = w
+        return out
 
 
 class MtxMemoryBlock:
