@@ -193,11 +193,14 @@ class VMFNBVAE:
         vmf_recon = self.vmf_decode_mu(
             params, reparameterize(k_vmf, mu_mean, mu_lnvar, training)
         )
+        # the reference clamps with fasterlog bounds (vmfnb.hh:535-538)
+        from ..ops.fastmath import fasterlog
+
         kappa = jnp.exp(
             jnp.clip(
                 linear_apply(params["ln_kappa"], x),
-                math.log(self.kappa_min),
-                math.log(self.kappa_max),
+                fasterlog(self.kappa_min),
+                fasterlog(self.kappa_max),
             )
         )
         return VMFNBVAEOutput(
@@ -218,8 +221,10 @@ def vmfnb_vmf_nllik(x: jax.Array, out: VMFNBVAEOutput) -> jax.Array:
     df = max(0.5 * dd - 1.0, 0.0)
     kappa = out.vmf_kappa[:, 0]  # per-sample scalar
     llik = jnp.sum(yobs * out.vmf_recon, axis=1) * kappa
+    from ..ops.fastmath import fasterlog
+
     llik += df * jnp.log(kappa) - lbessel(kappa, df)
-    llik -= 0.5 * dd * math.log(2.0 * math.pi)
+    llik -= 0.5 * dd * fasterlog(2.0 * math.pi)
     return -jnp.sum(llik)
 
 

@@ -173,11 +173,13 @@ class VMFNBMixtureVAE:
         vmf_eps = 1e-2 / float(x.shape[1])
         # columns of (exp(ln_mu)+eps) * L, L2-normalized over features
         vmf_mu = l2_normalize((jnp.exp(params["ln_vmf_mu"]) + vmf_eps) * L, axis=0)
+        from ..ops.fastmath import fasterlog
+
         kappa = jnp.exp(
             jnp.clip(
                 linear_apply(params["ln_kappa"], x),
-                math.log(self.kappa_min),
-                math.log(self.kappa_max),
+                fasterlog(self.kappa_min),
+                fasterlog(self.kappa_max),
             )
         )
         xn = self.normalize_vmf_x(x)
@@ -274,8 +276,10 @@ def mixture_vmf_nllik(
     df = max(0.5 * dd - 1.0, 0.0)
     kappa = out.vmf_kappa[:, 0]
     llik = jnp.sum(yobs * out.vmf_recon, axis=1) * kappa
+    from ..ops.fastmath import fasterlog
+
     llik += df * jnp.log(kappa) - lbessel(kappa, df)
-    llik -= 0.5 * dd * math.log(2.0 * math.pi)
+    llik -= 0.5 * dd * fasterlog(2.0 * math.pi)
     return -jnp.sum(llik)
 
 

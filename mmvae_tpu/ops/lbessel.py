@@ -11,10 +11,11 @@ include/operators.hh:13-101); here it is a one-screen
   analytic derivative (operators.hh:28-39).  Matching the reference's
   training trajectories requires copying this bound, so we do.
 
-The reference evaluates ``lgamma(df+1)`` with a fast bit-twiddling
-approximation (``fasterlgamma``, operators.hh:75); we use the exact
-``lgamma`` — the term is a constant in ``kappa`` so the gradient is
-unaffected and the loss shifts by a per-dataset constant only.
+The reference evaluates ``lgamma(df+1)`` with Mineiro's bit-twiddling
+``fasterlgamma`` (operators.hh:75); we reproduce that value bit-exactly
+(ops/fastmath.py) so reported losses match the reference's numbers —
+the term is a constant in ``kappa``, so gradients are unaffected either
+way.
 """
 
 from __future__ import annotations
@@ -36,11 +37,13 @@ def _lbessel_fwd_value(kappa, df):
     nu = float(df)
     eta = (nu + 0.5) / (2.0 * (nu + 1.0))
     # regime kappa <= nu (operators.hh:59-63)
+    from .fastmath import fasterlgamma
+
     stuff1 = (
         nu * jnp.log(kappa)
         + eta * kappa
         - (eta + nu) * math.log(2.0)
-        - math.lgamma(nu + 1.0)
+        - fasterlgamma(nu + 1.0)
     )
     # regime kappa > nu (operators.hh:64-67)
     stuff2 = kappa - 0.5 * jnp.log(kappa) - 0.5 * math.log(2.0 * math.pi)

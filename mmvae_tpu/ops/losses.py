@@ -5,9 +5,9 @@ ELBO — likelihood, KLs, annealing weight — fuses into one XLA
 computation (no per-op kernel launches as in the LibTorch reference).
 
 Formulas replicate the reference exactly, including its epsilons and
-clamps (SURVEY §7.3), except that approximate ``fasterlog`` constants
-(reference: include/models/vmf.hh:437) are evaluated exactly — they are
-additive constants with zero gradient.
+clamps (SURVEY §7.3) and its Mineiro ``fasterlog`` constants — those are
+reproduced bit-exactly (ops/fastmath.py) so reported loss values match
+the reference's numbers.
 """
 
 from __future__ import annotations
@@ -16,6 +16,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from .fastmath import fasterlog
 
 
 def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:
@@ -40,7 +42,8 @@ def uniform_kl(ln_q: jax.Array) -> jax.Array:
     (include/models/vmfnb_mixture.hh:698-706).
     """
     k = ln_q.shape[1]
-    return jnp.sum(jnp.exp(ln_q) * (ln_q + math.log(float(k))))
+    # fasterlog(K) matches the reference (vmfnb_mixture.hh:705)
+    return jnp.sum(jnp.exp(ln_q) * (ln_q + fasterlog(float(k))))
 
 
 def nb_nllik(
@@ -106,7 +109,9 @@ def vmf_loss(x: jax.Array, out, kl_weight) -> jax.Array:
     kl = gaussian_kl(out.mean, out.lnvar)
     llik = jnp.sum(yobs * out.recon, axis=1) * out.kappa
     llik += df * jnp.log(out.kappa) - lbessel(out.kappa, df)
-    llik -= 0.5 * dd * math.log(2.0 * math.pi)
+    # the reference evaluates this constant with Mineiro's fasterlog
+    # (vmf.hh:437) — reproduced bit-exactly for reported-value parity
+    llik -= 0.5 * dd * fasterlog(2.0 * math.pi)
 
     return kl / n * kl_weight - jnp.sum(llik) / n
 

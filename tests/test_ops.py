@@ -24,6 +24,8 @@ class TestLbessel:
     def test_forward_two_regimes(self):
         """Forward must match the Oh-Adamczewski-Park formulas the
         reference uses (operators.hh:58-80), not exact log I_nu."""
+        from mmvae_tpu.ops.fastmath import fasterlgamma
+
         df = 999.0  # 0.5 * 2000 - 1
         eta = (df + 0.5) / (2.0 * (df + 1.0))
         for kappa in [0.5, 10.0, 500.0, 998.0]:  # kappa <= df regime
@@ -32,7 +34,9 @@ class TestLbessel:
                 df * math.log(kappa)
                 + eta * kappa
                 - (eta + df) * math.log(2.0)
-                - math.lgamma(df + 1.0)
+                # the reference uses Mineiro's fasterlgamma here
+                # (operators.hh:75); we replicate it bit-exactly
+                - fasterlgamma(df + 1.0)
             )
             np.testing.assert_allclose(got, want, rtol=1e-4)
         for kappa in [1000.0, 5000.0]:  # kappa > df regime
@@ -116,13 +120,19 @@ class TestLosses:
         assert at_truth < off
 
     def test_uniform_kl(self):
-        # uniform q -> KL 0
+        from mmvae_tpu.ops.fastmath import fasterlog
+
+        # uniform q -> KL is (fasterlog(K) - log K) per row: the
+        # reference's fasterlog constant biases it slightly off 0
+        # (vmfnb_mixture.hh:705)
         k = 4
         ln_q = jnp.log(jnp.full((3, k), 1.0 / k))
-        assert abs(float(uniform_kl(ln_q))) < 1e-5
-        # peaked q -> log K per row
+        want = 3 * (fasterlog(k) - math.log(k))
+        np.testing.assert_allclose(float(uniform_kl(ln_q)), want, atol=1e-5)
+        # peaked q -> ~fasterlog(K) per row
         peaked = jnp.log(jnp.array([[1 - 3e-7, 1e-7, 1e-7, 1e-7]]))
-        np.testing.assert_allclose(float(uniform_kl(peaked)), math.log(k), rtol=1e-3)
+        np.testing.assert_allclose(float(uniform_kl(peaked)), fasterlog(k),
+                                   rtol=1e-3)
 
     def test_kl_schedule(self):
         # beta(0) = kl_max; decays to kl_min floor (mmvae.hh:36-39 defaults)
