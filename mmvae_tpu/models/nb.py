@@ -223,3 +223,76 @@ class NBVAE:
         total += gaussian_kl(mu_mean, mu_lnvar) * beta
         total += gaussian_kl(nu_mean, nu_lnvar) * beta
         return total / n
+
+    # ------------------------------------------------------------------
+    # v2 fused step: single-pass kernels (ops/nb_step.py).  Valid for
+    # direct (no hidden layer) mu decoders — the default architecture;
+    # falls back to fused_loss otherwise.
+    # ------------------------------------------------------------------
+    def _step_prelude(self, params, x, c, key, training=True):
+        """Latents + stacked decoder-side arguments for ops.nb_step.
+
+        Key split and encoder math are identical to ``fused_loss`` so
+        the two paths are trajectory-equivalent up to the loss kernel's
+        float reassociation.  Weights are stored (d_in, d_out), which is
+        already the kernels' (rows, D) tiling layout."""
+        from ..ops.losses import gaussian_kl
+
+        k_mu, k_nu = jax.random.split(key)
+        mu_mean, mu_lnvar = self.encode_mu(params, x, c)
+        z_mu = reparameterize(k_mu, mu_mean, mu_lnvar, training)
+        nu_mean, nu_lnvar = self.encode_nu(params, x)
+        z_nu = reparameterize(k_nu, nu_mean, nu_lnvar, training)
+        depth = jax.nn.softplus(linear_apply(params["depth"], x))
+
+        dec = params["mu_decoding"]
+        cov = params["covar_decoding"]
+        nud = params["nu_decoding"]
+        # weights are stored (d_in, d_out); the kernels tile (rows, D)
+        kl = gaussian_kl(mu_mean, mu_lnvar) + gaussian_kl(nu_mean, nu_lnvar)
+        return dict(
+            z_mu=z_mu,
+            z_nu=z_nu,
+            depth=depth,
+            wd=dec["weight"],
+            wc=cov["weight"],
+            bias2=dec["bias"] + cov["bias"] + params["mu_bias"][0],
+            wn=nud["weight"],
+            bias_n=nud["bias"] - params["nu_bias"][0],
+            kl=kl,
+        )
+
+    def _can_fuse_step(self) -> bool:
+        return not self.mean_decoding
+
+    def fused_step_report(self, params, x, c, key, beta,
+                          include_data_const: bool = True):
+        """Reporting loss via the v2 single-pass kernels."""
+        from ..ops.nb_step import nb_step_report
+
+        if not self._can_fuse_step():
+            return self.fused_loss(params, jnp.asarray(x, jnp.float32), c,
+                                   key, beta, True, include_data_const)
+        pre = self._step_prelude(params, x, c, key)
+        nll = nb_step_report(
+            x, pre["z_mu"], c, pre["z_nu"], pre["depth"],
+            pre["wd"], pre["wc"], pre["bias2"], pre["wn"], pre["bias_n"],
+            include_const=include_data_const,
+        )
+        n = x.shape[0]
+        return (nll + beta * pre["kl"]) / n
+
+    def fused_step_boot(self, params, x, c, key, beta):
+        """Boot-step loss via the fused value+grad kernel."""
+        from ..ops.nb_step import nb_step_boot
+
+        if not self._can_fuse_step():
+            return self.fused_loss(params, jnp.asarray(x, jnp.float32), c,
+                                   key, beta, True, include_data_const=False)
+        pre = self._step_prelude(params, x, c, key)
+        nll = nb_step_boot(
+            x, pre["z_mu"], c, pre["z_nu"], pre["depth"],
+            pre["wd"], pre["wc"], pre["bias2"], pre["wn"], pre["bias_n"],
+        )
+        n = x.shape[0]
+        return (nll + beta * pre["kl"]) / n

@@ -1,0 +1,644 @@
+"""Single-pass fused NB-VAE step kernels (v2 of ops/nb_elbo.py).
+
+Profiling the training step shows the per-boot cost is dominated by the
+ELBO kernel pair: a forward that reads the materialized (B, D) decoder
+logits twice and a backward that recomputes all activations and writes
+two (B, D) gradient tensors for XLA to contract.  This module removes
+every (B, D) intermediate:
+
+- logits ``h = z_mu @ Wd + c @ Wc + bias`` and the overdispersion
+  pre-activation are computed *inside* the kernels from the (B, R)
+  latents — the only (B, D) tensor ever read is ``x`` itself;
+- the boot-step kernel computes the loss AND every parameter/latent
+  gradient in ONE pass over x.  This exploits the fact that the
+  upstream cotangent of a scalar training loss is a known scalar: the
+  custom VJP saves the (tiny) gradients as residuals and its backward
+  merely scales them;
+- the softmax coupling ``dh = dls - softmax(h) * rowsum(dls)`` is
+  resolved without a second x pass: the kernel accumulates
+  ``R = rowsum(dls)`` and the rank-structured second terms
+  (``colsum(zm_r * R * p)`` etc.) are produced by a cheap finisher
+  kernel that recomputes ``p`` from the latents only (no x read);
+- counts are integers: each kernel checks its own column tile at
+  runtime, and where all counts are integers <= 7 the
+  ``lgamma(nu) - lgamma(nu+x)`` and ``digamma`` differences collapse to
+  a select-product ``P = prod_{k<x}(nu+k)`` with derivative ``dP``:
+  one log and one divide replace four lgamma/digamma evaluations
+  (the reference evaluates dense torch lgamma over all of (B, D);
+  include/models/nb.hh:511-531);
+- ``x`` may be passed as int16/int8: counts are integers, so narrow
+  storage halves the HBM traffic of the dominant tensor with bit-exact
+  f32 values after the in-kernel widening.
+
+Reference formulas (include/models/nb.hh:433-460 decoders, :511-531
+loss) are preserved exactly up to float reassociation; the fast path
+is *more* accurate than the Stirling-based lgamma (the product is exact
+up to f32 rounding).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nb_elbo import (
+    EPS,
+    NU_HI,
+    NU_LO,
+    _digamma_pos,
+    _lgamma_pos,
+)
+
+_INTERPRET = False  # flipped by tests on CPU
+
+_TD = 512          # lane tile width (wider measured slower on v5e)
+_XMAX_FAST = 7.0   # fast path covers integer counts 0..7
+
+
+def _use_kernel(D: int) -> bool:
+    if _INTERPRET:
+        return True
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return D >= 512
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+# ----------------------------------------------------------------------
+# XLA fallback / semantic spec
+# ----------------------------------------------------------------------
+
+def xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                 include_const: bool = False):
+    """Plain-XLA spec of the fused step NLL (differentiable)."""
+    x = jnp.asarray(x, jnp.float32)
+    h = zm @ wd + c @ wc + bias2
+    ls = jax.nn.log_softmax(h, axis=1)
+    mu = jnp.exp(ls) * depth + EPS
+    nu_pre = zn @ wn + bias_n
+    nu = jnp.clip(jax.nn.softplus(nu_pre), NU_LO, NU_HI) + EPS
+    denom = jnp.log(mu + nu)
+    terms = (
+        jax.lax.lgamma(nu)
+        - jax.lax.lgamma(nu + x)
+        + x * (denom - jnp.log(mu))
+        + nu * (denom - jnp.log(nu))
+    )
+    if include_const:
+        terms = terms + jax.lax.lgamma(x + 1.0)
+    return jnp.sum(terms)
+
+
+# ----------------------------------------------------------------------
+# shared in-kernel pieces
+# ----------------------------------------------------------------------
+
+def _compute_h(wt, zm_ref, c_ref, R: int, C: int):
+    """Logits tile from resident latents and the stacked weight tile.
+
+    Stacked weight rows: [wd(R) | wc(C) | bias2 | wn(Rn) | bias_n]."""
+    h = wt[R + C:R + C + 1, :]
+    for r in range(R):
+        h = h + zm_ref[:, r:r + 1] * wt[r:r + 1, :]
+    for q in range(C):
+        h = h + c_ref[:, q:q + 1] * wt[R + q:R + q + 1, :]
+    return h
+
+
+def _compute_nupre(wt, zn_ref, R: int, C: int, Rn: int):
+    npre = wt[R + C + 1 + Rn:R + C + 2 + Rn, :]
+    for r in range(Rn):
+        npre = npre + zn_ref[:, r:r + 1] * wt[R + C + 1 + r:R + C + 2 + r, :]
+    return npre
+
+
+def _col_valid(j, td: int, D: int, B: int, bp: int):
+    cols = j * td + jax.lax.broadcasted_iota(jnp.int32, (1, td), 1)
+    valid = cols < D
+    if bp > B:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bp, 1), 0)
+        valid = valid & (rows < B)
+    return valid
+
+
+def _fast_flag(x, valid, x_is_int: bool):
+    """Scalar: 1.0 iff every valid count in the tile is an integer in
+    [0, _XMAX_FAST] (the select-product path is exact there)."""
+    ok = (x >= 0.0) & (x <= _XMAX_FAST)
+    if not x_is_int:
+        ok = ok & (x == jnp.floor(x))
+    return jnp.min(jnp.where(valid, ok.astype(jnp.float32), 1.0))
+
+
+def _fast_products(x, nu, need_dg: bool, need_const: bool):
+    """Select-products for integer x in [0, 7]:
+
+    P  = prod_{k<x}(nu+k)       -> lgamma(nu) - lgamma(nu+x) = -log(P)
+    dP = dP/dnu                 -> digamma diff = -dP/P
+    Pc = x!                     -> lgamma(x+1) = log(Pc)
+    """
+    P = jnp.ones_like(nu)
+    dP = jnp.zeros_like(nu) if need_dg else None
+    for k in range(int(_XMAX_FAST)):
+        sel = x > float(k)
+        m = nu + float(k)
+        if need_dg:
+            dP = jnp.where(sel, dP * m + P, dP)
+        P = jnp.where(sel, P * m, P)
+    Pc = None
+    if need_const:
+        Pc = jnp.ones_like(nu)
+        for k in range(2, int(_XMAX_FAST) + 1):
+            Pc = jnp.where(x >= float(k), Pc * float(k), Pc)
+    return P, dP, Pc
+
+
+# ----------------------------------------------------------------------
+# kernel 1: online logsumexp of the in-kernel logits
+# ----------------------------------------------------------------------
+
+def _make_lse_kernel(R: int, C: int, td: int, D: int):
+    def kernel(zm_ref, c_ref, w_ref, lse_ref, m_ref, s_ref):
+        j = pl.program_id(0)
+        nj = pl.num_programs(0)
+
+        @pl.when(j == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+            s_ref[:] = jnp.zeros_like(s_ref)
+
+        h = _compute_h(w_ref[:], zm_ref, c_ref, R, C)
+        cols = j * td + jax.lax.broadcasted_iota(jnp.int32, (1, td), 1)
+        h = jnp.where(cols < D, h, -jnp.inf)
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(h, axis=1, keepdims=True))
+        s_ref[:] = s_ref[:] * jnp.exp(m_old - m_new) + jnp.sum(
+            jnp.where(cols < D, jnp.exp(h - m_new), 0.0),
+            axis=1, keepdims=True,
+        )
+        m_ref[:] = m_new
+
+        @pl.when(j == nj - 1)
+        def _():
+            lse_ref[:] = m_ref[:] + jnp.log(s_ref[:])
+
+    return kernel
+
+
+def _lse_call(zm, c, W, bp: int, Dp: int, td: int, D: int, R: int, C: int):
+    nj = Dp // td
+    Tp = W.shape[0]
+    kernel = _make_lse_kernel(R, C, td, D)
+    return pl.pallas_call(
+        kernel,
+        grid=(nj,),
+        in_specs=[
+            pl.BlockSpec((bp, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, C), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, 1), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bp, 1), jnp.float32),
+            pltpu.VMEM((bp, 1), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(zm, c, W)
+
+
+# ----------------------------------------------------------------------
+# kernel 2a: value-only pass (reporting loss)
+# ----------------------------------------------------------------------
+
+def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
+                       x_is_int: bool):
+    def kernel(x_ref, zm_ref, c_ref, zn_ref, depth_ref, lse_ref, w_ref,
+               nll_ref, acc_ref, lg_ref):
+        j = pl.program_id(0)
+        nj = pl.num_programs(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[0, 0] = 0.0
+
+        wt = w_ref[:]
+        valid = _col_valid(j, td, D, B, bp)
+        x = x_ref[:].astype(jnp.float32)
+        h = _compute_h(wt, zm_ref, c_ref, R, C)
+        ls = h - lse_ref[:]
+        p = jnp.exp(ls)
+        mu = p * depth_ref[:] + EPS
+        nupre = _compute_nupre(wt, zn_ref, R, C, Rn)
+        nu = jnp.clip(jax.nn.softplus(nupre), NU_LO, NU_HI) + EPS
+
+        fast = _fast_flag(x, valid, x_is_int) > 0.5
+
+        @pl.when(fast)
+        def _():
+            P, _, Pc = _fast_products(x, nu, need_dg=False,
+                                      need_const=with_const)
+            if with_const:
+                lg_ref[:] = jnp.log(Pc / P)
+            else:
+                lg_ref[:] = -jnp.log(P)
+
+        @pl.when(jnp.logical_not(fast))
+        def _():
+            lg = _lgamma_pos(nu) - _lgamma_pos(nu + x)
+            if with_const:
+                lg = lg + _lgamma_pos(x + 1.0)
+            lg_ref[:] = lg
+
+        denom = jnp.log(mu + nu)
+        terms = (
+            lg_ref[:]
+            + x * (denom - jnp.log(mu))
+            + nu * (denom - jnp.log(nu))
+        )
+        acc_ref[0, 0] += jnp.sum(jnp.where(valid, terms, 0.0))
+
+        @pl.when(j == nj - 1)
+        def _():
+            nll_ref[0, 0] = acc_ref[0, 0]
+
+    return kernel
+
+
+def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const):
+    bp, Dp = x.shape
+    td = _TD
+    nj = Dp // td
+    Tp = W.shape[0]
+    R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
+    x_is_int = jnp.issubdtype(x.dtype, jnp.integer)
+    kernel = _make_value_kernel(R, C, Rn, td, D, B, bp, with_const,
+                                x_is_int)
+    nll = pl.pallas_call(
+        kernel,
+        grid=(nj,),
+        in_specs=[
+            pl.BlockSpec((bp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, C), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((bp, td), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(x, zm, c, zn, depth, lse, W)
+    return nll[0, 0]
+
+
+# ----------------------------------------------------------------------
+# kernel 2b: fused value + gradients (ONE pass over x)
+# ----------------------------------------------------------------------
+
+def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool):
+    base = R + C + 1  # rows: wd | wc | bias2 | wn | bias_n
+
+    def kernel(x_ref, zm_ref, c_ref, zn_ref, depth_ref, lse_ref, w_ref,
+               nll_ref, gout_ref, rsum_ref, u1_ref, dzn_ref, dd_ref,
+               acc_ref, rs_acc, u1_acc, dzn_acc, dd_acc, lg_ref, dg_ref):
+        j = pl.program_id(0)
+        nj = pl.num_programs(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[0, 0] = 0.0
+            rs_acc[:] = jnp.zeros_like(rs_acc)
+            u1_acc[:] = jnp.zeros_like(u1_acc)
+            dzn_acc[:] = jnp.zeros_like(dzn_acc)
+            dd_acc[:] = jnp.zeros_like(dd_acc)
+
+        wt = w_ref[:]
+        valid = _col_valid(j, td, D, B, bp)
+        x = x_ref[:].astype(jnp.float32)
+        depth = depth_ref[:]
+        h = _compute_h(wt, zm_ref, c_ref, R, C)
+        ls = h - lse_ref[:]
+        p = jnp.exp(ls)
+        mu = p * depth + EPS
+        nupre = _compute_nupre(wt, zn_ref, R, C, Rn)
+        sp = jax.nn.softplus(nupre)
+        nu = jnp.clip(sp, NU_LO, NU_HI) + EPS
+
+        # lgamma/digamma differences: fast product path when all counts
+        # in the tile are small integers, Stirling shift otherwise
+        fast = _fast_flag(x, valid, x_is_int) > 0.5
+
+        @pl.when(fast)
+        def _():
+            P, dP, _ = _fast_products(x, nu, need_dg=True, need_const=False)
+            lg_ref[:] = -jnp.log(P)
+            dg_ref[:] = -dP / P
+
+        @pl.when(jnp.logical_not(fast))
+        def _():
+            lg_ref[:] = _lgamma_pos(nu) - _lgamma_pos(nu + x)
+            dg_ref[:] = _digamma_pos(nu) - _digamma_pos(nu + x)
+
+        denom = jnp.log(mu + nu)
+        lnu = jnp.log(nu)
+        terms = (
+            lg_ref[:]
+            + x * (denom - jnp.log(mu))
+            + nu * (denom - lnu)
+        )
+        acc_ref[0, 0] += jnp.sum(jnp.where(valid, terms, 0.0))
+
+        inv_mn = 1.0 / (mu + nu)
+        dmu = jnp.where(valid, x * (inv_mn - 1.0 / mu) + nu * inv_mn, 0.0)
+        dls = dmu * p * depth
+        dnu = dg_ref[:] + (x + nu) * inv_mn + denom - lnu - 1.0
+        in_range = (sp > NU_LO) & (sp < NU_HI)
+        dnupre = jnp.where(
+            valid & in_range, dnu * jax.nn.sigmoid(nupre), 0.0
+        )
+
+        # per-row accumulators
+        rs_acc[:] += jnp.sum(dls, axis=1, keepdims=True)
+        dd_acc[:] += jnp.sum(dmu * p, axis=1, keepdims=True)
+        for r in range(R):
+            u1_acc[:, r:r + 1] += jnp.sum(
+                dls * wt[r:r + 1, :], axis=1, keepdims=True
+            )
+        for r in range(Rn):
+            dzn_acc[:, r:r + 1] += jnp.sum(
+                dnupre * wt[base + r:base + r + 1, :], axis=1, keepdims=True
+            )
+
+        # per-tile weight-gradient rows (stacked like the input rows)
+        for r in range(R):
+            gout_ref[r:r + 1, :] = jnp.sum(
+                zm_ref[:, r:r + 1] * dls, axis=0, keepdims=True
+            )
+        for q in range(C):
+            gout_ref[R + q:R + q + 1, :] = jnp.sum(
+                c_ref[:, q:q + 1] * dls, axis=0, keepdims=True
+            )
+        gout_ref[R + C:R + C + 1, :] = jnp.sum(dls, axis=0, keepdims=True)
+        for r in range(Rn):
+            gout_ref[base + r:base + r + 1, :] = jnp.sum(
+                zn_ref[:, r:r + 1] * dnupre, axis=0, keepdims=True
+            )
+        gout_ref[base + Rn:base + Rn + 1, :] = jnp.sum(
+            dnupre, axis=0, keepdims=True
+        )
+
+        @pl.when(j == nj - 1)
+        def _():
+            nll_ref[0, 0] = acc_ref[0, 0]
+            rsum_ref[:] = rs_acc[:]
+            u1_ref[:] = u1_acc[:]
+            dzn_ref[:] = dzn_acc[:]
+            dd_ref[:] = dd_acc[:]
+
+    return kernel
+
+
+def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B):
+    bp, Dp = x.shape
+    td = _TD
+    nj = Dp // td
+    Tp = W.shape[0]
+    R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
+    x_is_int = jnp.issubdtype(x.dtype, jnp.integer)
+    kernel = _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int)
+    nll, gout, rsum, u1, dzn, dd = pl.pallas_call(
+        kernel,
+        grid=(nj,),
+        in_specs=[
+            pl.BlockSpec((bp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, C), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bp, R), jnp.float32),
+            jax.ShapeDtypeStruct((bp, Rn), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((bp, 1), jnp.float32),
+            pltpu.VMEM((bp, R), jnp.float32),
+            pltpu.VMEM((bp, Rn), jnp.float32),
+            pltpu.VMEM((bp, 1), jnp.float32),
+            pltpu.VMEM((bp, td), jnp.float32),
+            pltpu.VMEM((bp, td), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(x, zm, c, zn, depth, lse, W)
+    return nll[0, 0], gout, rsum, u1, dzn, dd
+
+
+# ----------------------------------------------------------------------
+# kernel 3: finisher — softmax-coupling terms, no x read
+# ----------------------------------------------------------------------
+
+def _make_finish_kernel(R, C, td, D):
+    def kernel(zm_ref, c_ref, lse_ref, rsum_ref, w_ref,
+               fout_ref, u2_ref, u2_acc):
+        j = pl.program_id(0)
+        nj = pl.num_programs(0)
+
+        @pl.when(j == 0)
+        def _():
+            u2_acc[:] = jnp.zeros_like(u2_acc)
+
+        wt = w_ref[:]
+        h = _compute_h(wt, zm_ref, c_ref, R, C)
+        cols = j * td + jax.lax.broadcasted_iota(jnp.int32, (1, td), 1)
+        p = jnp.where(cols < D, jnp.exp(h - lse_ref[:]), 0.0)
+        pr = p * rsum_ref[:]
+        for r in range(R):
+            fout_ref[r:r + 1, :] = jnp.sum(
+                zm_ref[:, r:r + 1] * pr, axis=0, keepdims=True
+            )
+            u2_acc[:, r:r + 1] += jnp.sum(
+                p * wt[r:r + 1, :], axis=1, keepdims=True
+            )
+        for q in range(C):
+            fout_ref[R + q:R + q + 1, :] = jnp.sum(
+                c_ref[:, q:q + 1] * pr, axis=0, keepdims=True
+            )
+        fout_ref[R + C:R + C + 1, :] = jnp.sum(pr, axis=0, keepdims=True)
+
+        @pl.when(j == nj - 1)
+        def _():
+            u2_ref[:] = u2_acc[:]
+
+    return kernel
+
+
+def _finish_call(zm, c, lse, rsum, W, *, D):
+    bp = zm.shape[0]
+    Tp = W.shape[0]
+    Dp = W.shape[1]
+    td = _TD
+    nj = Dp // td
+    R, C = zm.shape[1], c.shape[1]
+    kernel = _make_finish_kernel(R, C, td, D)
+    fout, u2 = pl.pallas_call(
+        kernel,
+        grid=(nj,),
+        in_specs=[
+            pl.BlockSpec((bp, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, C), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, R), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((bp, R), jnp.float32)],
+        interpret=_INTERPRET,
+    )(zm, c, lse, rsum, W)
+    return fout, u2
+
+
+# ----------------------------------------------------------------------
+# host-side padding / stacking
+# ----------------------------------------------------------------------
+
+def _prep(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
+    B, D = x.shape
+    bp = _ceil_to(B, 8)
+    Dp = _ceil_to(D, _TD)
+    R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
+
+    def rpad(a):
+        return jnp.pad(a, ((0, bp - B), (0, 0))) if bp > B else a
+
+    xp = jnp.pad(x, ((0, bp - B), (0, Dp - D)))
+    W = jnp.concatenate(
+        [wd, wc, bias2.reshape(1, -1), wn, bias_n.reshape(1, -1)], axis=0
+    )
+    T = W.shape[0]
+    Tp = _ceil_to(T, 8)
+    W = jnp.pad(W, ((0, Tp - T), (0, Dp - D)))
+    return (xp, rpad(zm), rpad(c), rpad(zn), rpad(depth), W,
+            dict(B=B, D=D, bp=bp, Dp=Dp, R=R, C=C, Rn=Rn, T=T))
+
+
+# ----------------------------------------------------------------------
+# public ops
+# ----------------------------------------------------------------------
+
+def nb_step_report(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                   include_const: bool = True):
+    """Reporting-pass NLL (value only).  Not differentiable — the
+    reporting forward takes no grad step (reference:
+    mmvae_alg.hh:277-285)."""
+    if not _use_kernel(x.shape[1]):
+        return xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn,
+                            bias_n, include_const)
+    xp, zmp, cp, znp, dpp, W, dims = _prep(
+        x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n
+    )
+    lse = _lse_call(zmp, cp, W, dims["bp"], dims["Dp"], _TD, dims["D"],
+                    dims["R"], dims["C"])
+    return _value_call(xp, zmp, cp, znp, dpp, lse, W,
+                       D=dims["D"], B=dims["B"], with_const=include_const)
+
+
+@jax.custom_vjp
+def nb_step_boot(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
+    """Boot-step NLL with a fused single-pass VJP.
+
+    Differentiable in (zm, zn, depth, wd, wc, bias2, wn, bias_n); x and
+    c are data."""
+    nll, _ = _boot_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n)
+    return nll
+
+
+def _boot_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
+    if not _use_kernel(x.shape[1]):
+        nll, vjp = jax.vjp(
+            lambda *a: xla_step_nll(*a, include_const=False),
+            jnp.asarray(x, jnp.float32), zm, c, zn, depth, wd, wc, bias2,
+            wn, bias_n,
+        )
+        return nll, (None, vjp)
+
+    xp, zmp, cp, znp, dpp, W, dims = _prep(
+        x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n
+    )
+    B, D, R, C, Rn = (dims["B"], dims["D"], dims["R"], dims["C"],
+                      dims["Rn"])
+    lse = _lse_call(zmp, cp, W, dims["bp"], dims["Dp"], _TD, D, R, C)
+    nll, gout, rsum, u1, dzn, dd = _valgrad_call(
+        xp, zmp, cp, znp, dpp, lse, W, D=D, B=B
+    )
+    fout, u2 = _finish_call(zmp, cp, lse, rsum, W, D=D)
+
+    # dh = dls - p * rowsum(dls): gout holds the dls contractions, fout
+    # the p*rowsum ones; rows are stacked [wd | wc | bias2 | ...]
+    gw = gout[:R + C + 1, :D] - fout[:R + C + 1, :D]
+    d_wd = gw[:R]
+    d_wc = gw[R:R + C]
+    d_bias2 = gw[R + C]
+    d_wn = gout[R + C + 1:R + C + 1 + Rn, :D]
+    d_bias_n = gout[R + C + 1 + Rn, :D]
+    d_zm = (u1 - rsum * u2)[:B]
+    res = (d_zm, dzn[:B], dd[:B], d_wd, d_wc, d_bias2, d_wn, d_bias_n)
+    return nll, (res, None)
+
+
+def _boot_bwd(saved, g):
+    res, xla_vjp = saved
+    if res is None:
+        dx, dzm, dc, dzn, ddep, dwd, dwc, db2, dwn, dbn = xla_vjp(g)
+        return (None, dzm, None, dzn, ddep, dwd, dwc, db2, dwn, dbn)
+    d_zm, d_zn, d_dep, d_wd, d_wc, d_bias2, d_wn, d_bias_n = res
+    g = jnp.asarray(g, jnp.float32)
+    return (
+        None,
+        g * d_zm,
+        None,
+        g * d_zn,
+        g * d_dep,
+        g * d_wd,
+        g * d_wc,
+        g * d_bias2,
+        g * d_wn,
+        g * d_bias_n,
+    )
+
+
+nb_step_boot.defvjp(_boot_fwd, _boot_bwd)

@@ -75,6 +75,8 @@ class Trainer:
         boot_loss_fn: Callable | None = None,
         report_loss_override: Callable | None = None,
         boot_loss_override: Callable | None = None,
+        report_aux_override: Callable | None = None,
+        boot_aux_override: Callable | None = None,
     ):
         self.forward = forward
         self.loss_fn = loss_fn
@@ -87,6 +89,13 @@ class Trainer:
         # Pallas NB ELBO kernel) that bypass the forward/loss split.
         self._report_override = report_loss_override
         self._boot_override = boot_loss_override
+        # aux-threading overrides: the reporting forward may compute
+        # batch-level auxiliary data (e.g. the per-tile fast-path flags
+        # of ops/nb_step.py) consumed by the same batch's boot steps.
+        # Signature: report (p, x, c, key, beta) -> (loss, aux);
+        # boot (p, x, c, key, beta, aux) -> loss.
+        self._report_aux_override = report_aux_override
+        self._boot_aux_override = boot_aux_override
         self.opt = opt
         self.kl_max, self.kl_min, self.kl_discount = kl
         self.optimizer = make_optimizer(opt)
@@ -108,7 +117,10 @@ class Trainer:
 
         # reporting loss: train-mode forward on the sequential batch,
         # no gradient step (mmvae_alg.hh:277-285)
-        if self._report_override is not None:
+        aux = None
+        if self._report_aux_override is not None:
+            report, aux = self._report_aux_override(params, x, c, k_rep, beta)
+        elif self._report_override is not None:
             report = self._report_override(params, x, c, k_rep, beta)
         else:
             out = self.forward(params, x, c, k_rep, True)
@@ -125,7 +137,10 @@ class Trainer:
             xb = jnp.take(x, ridx, axis=0)
             cb = jnp.take(c, ridx, axis=0) if c is not None else None
 
-            if self._boot_override is not None:
+            if self._boot_aux_override is not None:
+                def lf(p):
+                    return self._boot_aux_override(p, xb, cb, k_fwd, beta, aux)
+            elif self._boot_override is not None:
                 def lf(p):
                     return self._boot_override(p, xb, cb, k_fwd, beta)
             else:
@@ -246,6 +261,8 @@ def train_vae_model(
     boot_loss_fn: Callable | None = None,
     report_loss_override: Callable | None = None,
     boot_loss_override: Callable | None = None,
+    report_aux_override: Callable | None = None,
+    boot_aux_override: Callable | None = None,
     metrics_path: str | None = None,
     ondevice: bool = False,
 ) -> tuple[dict, list[float]]:
@@ -273,7 +290,9 @@ def train_vae_model(
     trainer = Trainer(forward, loss_fn, opt, kl, mesh=mesh,
                       boot_loss_fn=boot_loss_fn,
                       report_loss_override=report_loss_override,
-                      boot_loss_override=boot_loss_override)
+                      boot_loss_override=boot_loss_override,
+                      report_aux_override=report_aux_override,
+                      boot_aux_override=boot_aux_override)
     params = init_params
     opt_state = (
         init_opt_state

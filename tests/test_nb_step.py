@@ -1,0 +1,174 @@
+"""Tests for the single-pass fused step kernels (ops/nb_step.py).
+
+Run in Pallas interpret mode on CPU; semantics are checked against the
+plain-XLA spec (``xla_step_nll``) and against the v1 fused path
+(``NBVAE.fused_loss``), whose own parity with the LibTorch reference is
+covered by tests/test_torch_parity.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvae_tpu.models.nb import NBVAE
+from mmvae_tpu.ops import nb_step
+from mmvae_tpu.ops.nb_step import (
+    nb_step_boot,
+    nb_step_report,
+    xla_step_nll,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(nb_step, "_INTERPRET", True)
+
+
+def _mk_inputs(B=10, D=1100, R=2, C=1, Rn=1, seed=0, max_count=6,
+               non_integer=False, lam=0.8, x_dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    x = rng.poisson(lam, size=(B, D)).clip(0, max_count).astype(np.float32)
+    if non_integer:
+        x[0, :7] += 0.5
+    x = x.astype(x_dtype)
+    zm = rng.normal(size=(B, R)).astype(np.float32)
+    c = rng.normal(size=(B, C)).astype(np.float32)
+    zn = rng.normal(size=(B, Rn)).astype(np.float32)
+    depth = np.abs(rng.normal(size=(B, 1))).astype(np.float32) + 0.3
+    wd = (rng.normal(size=(R, D)) * 0.2).astype(np.float32)
+    wc = (rng.normal(size=(C, D)) * 0.2).astype(np.float32)
+    bias2 = (rng.normal(size=(D,)) * 0.2).astype(np.float32)
+    wn = (rng.normal(size=(Rn, D)) * 0.2).astype(np.float32)
+    bias_n = (rng.normal(size=(D,)) * 0.2).astype(np.float32)
+    return tuple(map(jnp.asarray, (x, zm, c, zn, depth, wd, wc, bias2,
+                                   wn, bias_n)))
+
+
+@pytest.mark.parametrize("with_const", [False, True])
+@pytest.mark.parametrize(
+    "B,D,lam,maxc,nonint",
+    [
+        (10, 1100, 0.8, 6, False),    # all tiles fast
+        (8, 1024, 9.0, 40, False),    # all tiles exact (large counts)
+        (13, 640, 0.8, 6, True),      # non-integer -> exact tiles
+    ],
+)
+def test_report_value_matches_xla(B, D, lam, maxc, nonint, with_const):
+    args = _mk_inputs(B=B, D=D, lam=lam, max_count=maxc, non_integer=nonint)
+    nll = nb_step_report(*args, include_const=with_const)
+    want = xla_step_nll(*args, include_const=with_const)
+    np.testing.assert_allclose(float(nll), float(want), rtol=3e-5)
+
+
+@pytest.mark.parametrize("x_dtype", [np.int16, np.int8])
+def test_integer_count_dtypes(x_dtype):
+    args = _mk_inputs(x_dtype=x_dtype, seed=5)
+    nll = nb_step_report(*args)
+    want = xla_step_nll(*args, include_const=True)
+    np.testing.assert_allclose(float(nll), float(want), rtol=3e-5)
+
+
+@pytest.mark.parametrize("fastpath", [True, False])
+def test_boot_value_and_grads_match_xla(fastpath):
+    args = _mk_inputs(max_count=6 if fastpath else 40,
+                      lam=0.8 if fastpath else 9.0, seed=3)
+
+    diff_idx = (1, 3, 4, 5, 6, 7, 8, 9)  # zm, zn, depth, wd, wc, b2, wn, bn
+
+    def loss_v2(*diff_args):
+        a = list(args)
+        for i, v in zip(diff_idx, diff_args):
+            a[i] = v
+        return nb_step_boot(*a)
+
+    def loss_ref(*diff_args):
+        a = list(args)
+        for i, v in zip(diff_idx, diff_args):
+            a[i] = v
+        return xla_step_nll(*a, include_const=False)
+
+    diff_args = tuple(args[i] for i in diff_idx)
+    v2, g2 = jax.value_and_grad(loss_v2, argnums=range(len(diff_idx)))(
+        *diff_args)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=range(len(diff_idx)))(
+        *diff_args)
+    np.testing.assert_allclose(float(v2), float(vr), rtol=3e-5)
+    names = ["zm", "zn", "depth", "wd", "wc", "bias2", "wn", "bias_n"]
+    for name, a, b in zip(names, g2, gr):
+        scale = max(1e-3, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6 * scale,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_boot_grads_mixed_tiles():
+    """Tiles with large counts use the exact path, others the fast one;
+    the mixture must still match the XLA grads."""
+    args = list(_mk_inputs(seed=11, D=1100))
+    x = np.asarray(args[0]).copy()
+    x[2, 600] = 31.0  # tile 1 -> exact
+    args[0] = jnp.asarray(x)
+
+    def loss_v2(wd):
+        a = list(args)
+        a[5] = wd
+        return nb_step_boot(*a)
+
+    def loss_ref(wd):
+        a = list(args)
+        a[5] = wd
+        return xla_step_nll(*a, include_const=False)
+
+    g2 = jax.grad(loss_v2)(args[5])
+    gr = jax.grad(loss_ref)(args[5])
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(gr), rtol=5e-4,
+                               atol=1e-6)
+
+
+def test_model_fused_step_matches_fused_loss():
+    """Model-level: v2 report/boot vs the v1 fused path (same key)."""
+    D, B = 900, 11
+    model = NBVAE(data_dim=D, covar_dim=1, mean_latent=2)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.poisson(0.5, size=(B, D)).astype(np.float32))
+    c = jnp.ones((B, 1), jnp.float32)
+    key = jax.random.PRNGKey(42)
+    beta = jnp.float32(0.37)
+
+    rep2 = model.fused_step_report(params, x, c, key, beta)
+    rep1 = model.fused_loss(params, x, c, key, beta, True, True)
+    np.testing.assert_allclose(float(rep2), float(rep1), rtol=3e-5)
+
+    g2 = jax.grad(
+        lambda p: model.fused_step_boot(p, x, c, key, beta)
+    )(params)
+    g1 = jax.grad(
+        lambda p: model.fused_loss(p, x, c, key, beta, True, False)
+    )(params)
+    flat2 = jax.tree_util.tree_leaves_with_path(g2)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    for path, leaf in flat2:
+        ref = flat1[path]
+        scale = max(1e-3, float(jnp.abs(ref).max()))
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref), rtol=1e-3,
+            atol=2e-5 * scale,
+            err_msg=f"model grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_fallback_paths_used_for_hidden_decoder():
+    model = NBVAE(data_dim=600, covar_dim=1, mean_latent=2,
+                  mean_decoding=(16,))
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.poisson(0.5, size=(9, 600)).astype(np.float32))
+    c = jnp.ones((9, 1), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    loss = model.fused_step_report(params, x, c, key, jnp.float32(1.0))
+    want = model.fused_loss(params, x, c, key, jnp.float32(1.0), True, True)
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-6)
