@@ -54,12 +54,13 @@ def main() -> None:
         boot_loss_fn=lambda x, out, beta: nb_loss(
             x, out, beta, include_data_const=False
         ),
-        # fused Pallas ELBO kernel (decoder + NB likelihood in one pass)
-        report_loss_override=lambda p, x, c, k, b: model.fused_loss(
-            p, x, c, k, b, True, include_data_const=True
+        # v2 single-pass step kernels (ops/nb_step.py): in-kernel decoder
+        # logits, fused value+grad boot pass, integer-count fast path
+        report_loss_override=lambda p, x, c, k, b: model.fused_step_report(
+            p, x, c, k, b, include_data_const=True
         ),
-        boot_loss_override=lambda p, x, c, k, b: model.fused_loss(
-            p, x, c, k, b, True, include_data_const=False
+        boot_loss_override=lambda p, x, c, k, b: model.fused_step_boot(
+            p, x, c, k, b
         ),
     )
     opt_state = trainer.optimizer.init(params)
@@ -67,8 +68,9 @@ def main() -> None:
     rng = np.random.default_rng(0)
     # synthetic sparse-ish counts, one superbatch reused (bench measures
     # the compute path; the input pipeline overlaps via prefetch in
-    # real runs)
-    x_sb = rng.poisson(0.5, size=(S, B, D)).astype(np.float32)
+    # real runs).  Counts ride as int16 — integers are exact, HBM
+    # traffic of the dominant tensor halves (the kernels widen on load).
+    x_sb = rng.poisson(0.5, size=(S, B, D)).astype(np.int16)
     c_sb = np.ones((S, B, 1), np.float32)
     x_dev = jnp.asarray(x_sb)
     c_dev = jnp.asarray(c_sb)

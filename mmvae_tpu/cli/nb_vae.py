@@ -103,11 +103,23 @@ def main(argv=None) -> int:
         mesh = make_mesh()
 
     TLOG("Training the model...")
-    # Fused Pallas ELBO path (default): the decoder + NB likelihood run
-    # in one kernel; gradient steps skip the lgamma(x+1) data constant
-    # (identical gradients).  --no_fused falls back to plain XLA.
+    # Fused kernel paths (default): --no_fused_step drops to the v1
+    # fused ELBO kernel (decoder + likelihood in one Pallas kernel);
+    # --no_fused falls back to plain XLA.  The v2 single-pass step
+    # kernels (ops/nb_step.py: in-kernel logits, fused value+grad)
+    # require a direct mu decoder; otherwise v1 is used automatically.
     fused_kw = {}
-    if topt.fused:
+    if topt.fused and topt.fused_step and model._can_fuse_step():
+        fused_kw = dict(
+            report_loss_override=lambda p, x, c, k, b: (
+                model.fused_step_report(p, x, c, k, b,
+                                        include_data_const=True)
+            ),
+            boot_loss_override=lambda p, x, c, k, b: (
+                model.fused_step_boot(p, x, c, k, b)
+            ),
+        )
+    elif topt.fused:
         fused_kw = dict(
             report_loss_override=lambda p, x, c, k, b: model.fused_loss(
                 p, x, c, k, b, True, include_data_const=True

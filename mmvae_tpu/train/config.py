@@ -96,6 +96,8 @@ class TrainingOptions:
     # TPU-native additions (no reference analog):
     superbatch: int = 8          # minibatches fused per jit dispatch
     fused: bool = True           # use the fused Pallas ELBO kernel (NB model)
+    fused_step: bool = True      # single-pass step kernels (ops/nb_step.py)
+                                 # when the architecture allows them
     seed: int = 0                # deterministic PRNG (reference: random_device)
     resume: str = ""             # checkpoint directory to resume from
     checkpoint_dir: str = ""     # where to write checkpoints ("" = off)
@@ -117,6 +119,10 @@ class TrainingOptions:
         p.add_argument("--fused", dest="fused", action="store_true",
                        default=True)
         p.add_argument("--no_fused", dest="fused", action="store_false")
+        p.add_argument("--fused_step", dest="fused_step",
+                       action="store_true", default=True)
+        p.add_argument("--no_fused_step", dest="fused_step",
+                       action="store_false")
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--resume", type=str, default="")
         p.add_argument("--checkpoint_dir", type=str, default="")
@@ -129,7 +135,8 @@ class TrainingOptions:
         return cls(
             lr=ns.lr, grad_clip=ns.grad_clip, nboot=ns.nboot,
             max_epoch=ns.max_epoch, recording=ns.recording,
-            superbatch=ns.superbatch, fused=ns.fused, seed=ns.seed,
+            superbatch=ns.superbatch, fused=ns.fused,
+            fused_step=ns.fused_step, seed=ns.seed,
             resume=ns.resume,
             checkpoint_dir=ns.checkpoint_dir, data_parallel=ns.data_parallel,
             ondevice=ns.ondevice, debug_nans=ns.debug_nans,
