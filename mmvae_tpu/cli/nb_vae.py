@@ -97,7 +97,7 @@ def main(argv=None) -> int:
                             prev_losses + losses)
 
     mesh = None
-    if topt.data_parallel:
+    if topt.data_parallel or topt.dp_shard:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
@@ -140,6 +140,7 @@ def main(argv=None) -> int:
         **fused_kw,
         kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
         mesh=mesh,
+        dp_shard_map=topt.dp_shard,
         start_epoch=start_epoch,
         init_opt_state=init_opt_state,
         on_epoch_end=on_epoch_end,

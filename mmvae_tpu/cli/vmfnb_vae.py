@@ -148,7 +148,7 @@ def main(argv=None) -> int:
                             prev_losses + losses)
 
     mesh = None
-    if topt.data_parallel:
+    if topt.data_parallel or topt.dp_shard:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
@@ -157,6 +157,7 @@ def main(argv=None) -> int:
         forward, recorder, data_block, covar_block, topt, loss_fn, params,
         kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
         mesh=mesh,
+        dp_shard_map=topt.dp_shard,
         start_epoch=start_epoch,
         init_opt_state=init_opt_state,
         on_epoch_end=on_epoch_end,

@@ -102,6 +102,8 @@ class TrainingOptions:
     resume: str = ""             # checkpoint directory to resume from
     checkpoint_dir: str = ""     # where to write checkpoints ("" = off)
     data_parallel: bool = False  # shard the batch over all local devices
+    dp_shard: bool = False       # shard_map DP: per-shard kernels + pmean
+                                 # grads (multi-chip high-throughput mode)
     ondevice: bool = False       # device-resident sparse data, on-device epochs
     debug_nans: bool = False     # jax_debug_nans (SURVEY §5.2 analog)
 
@@ -127,6 +129,7 @@ class TrainingOptions:
         p.add_argument("--resume", type=str, default="")
         p.add_argument("--checkpoint_dir", type=str, default="")
         p.add_argument("--data_parallel", action="store_true")
+        p.add_argument("--dp_shard", action="store_true")
         p.add_argument("--ondevice", action="store_true")
         p.add_argument("--debug_nans", action="store_true")
 
@@ -139,6 +142,7 @@ class TrainingOptions:
             fused_step=ns.fused_step, seed=ns.seed,
             resume=ns.resume,
             checkpoint_dir=ns.checkpoint_dir, data_parallel=ns.data_parallel,
+            dp_shard=ns.dp_shard,
             ondevice=ns.ondevice, debug_nans=ns.debug_nans,
         )
 

@@ -63,6 +63,23 @@ class Trainer:
     mesh    : optional jax Mesh for data/tensor parallelism; when given,
               inputs are sharded along the batch axis and parameters are
               replicated (see mmvae_tpu.parallel).
+
+    Two data-parallel modes:
+
+    - default (``dp_shard_map=False``): one jitted step with sharded
+      inputs; XLA's SPMD partitioner inserts the collectives.  Bitwise
+      identical to single-device runs (the PRNG draws are
+      layout-invariant), but custom Pallas kernels inside the loss are
+      opaque to the partitioner, which replicates their operands.
+    - ``dp_shard_map=True``: the whole superbatch step runs under
+      ``jax.shard_map`` over the 'data' axis — each shard computes its
+      local loss/grads (Pallas kernels run unpartitioned on local
+      shapes, the TPU-native layout for custom kernels) and gradients
+      are ``pmean``-ed over ICI.  Reparameterization noise and
+      bootstrap resampling are *per shard* (keys folded with the shard
+      index, resampling within the local rows), so trajectories are
+      deterministic but not bitwise equal across device counts — the
+      high-throughput mode for multi-chip runs.
     """
 
     def __init__(
@@ -77,6 +94,7 @@ class Trainer:
         boot_loss_override: Callable | None = None,
         report_aux_override: Callable | None = None,
         boot_aux_override: Callable | None = None,
+        dp_shard_map: bool = False,
     ):
         self.forward = forward
         self.loss_fn = loss_fn
@@ -100,19 +118,41 @@ class Trainer:
         self.kl_max, self.kl_min, self.kl_discount = kl
         self.optimizer = make_optimizer(opt)
         self.mesh = mesh
+        self.dp_shard_map = dp_shard_map and mesh is not None
         self._x_sharding = None
         if mesh is not None:
             from ..parallel.mesh import batch_sharding
 
             self._x_sharding = batch_sharding(mesh)
-        self._step = jax.jit(self._superbatch_step, donate_argnums=(0, 1))
+        if self.dp_shard_map:
+            from jax.sharding import PartitionSpec as P
+
+            import functools
+
+            step = jax.shard_map(
+                functools.partial(self._superbatch_step, axis_name="data"),
+                mesh=mesh,
+                in_specs=(P(), P(), P(None, "data"), P(None, "data"),
+                          P(), P(), P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+            self._step = jax.jit(step, donate_argnums=(0, 1))
+        else:
+            self._step = jax.jit(self._superbatch_step,
+                                 donate_argnums=(0, 1))
         self._base_key = jax.random.PRNGKey(opt.seed)
 
     # ------------------------------------------------------------------
-    def _batch_step(self, params, opt_state, x, c, epoch_f, key):
+    def _batch_step(self, params, opt_state, x, c, epoch_f, key,
+                    axis_name=None):
         beta = kl_weight_schedule(
             epoch_f, self.kl_max, self.kl_min, self.kl_discount
         )
+        if axis_name is not None:
+            # shard-local PRNG stream: noise and bootstrap resamples are
+            # drawn per shard (see class docstring)
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_rep, k_boot = jax.random.split(key)
 
         # reporting loss: train-mode forward on the sequential batch,
@@ -125,6 +165,8 @@ class Trainer:
         else:
             out = self.forward(params, x, c, k_rep, True)
             report = self.loss_fn(x, out, beta)
+        if axis_name is not None:
+            report = jax.lax.pmean(report, axis_name)
 
         B = x.shape[0]
 
@@ -149,6 +191,10 @@ class Trainer:
                     return self.boot_loss_fn(xb, o, beta)
 
             grads = jax.grad(lf)(params)
+            if axis_name is not None:
+                # each shard's loss is a mean over its local rows, so
+                # the global-batch gradient is the shard mean
+                grads = jax.lax.pmean(grads, axis_name)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state
@@ -159,7 +205,8 @@ class Trainer:
         return params, opt_state, report
 
     def _superbatch_step(
-        self, params, opt_state, x_sb, c_sb, epoch_f, batch_ids, base_key
+        self, params, opt_state, x_sb, c_sb, epoch_f, batch_ids, base_key,
+        axis_name=None,
     ):
         ekey = jax.random.fold_in(base_key, jnp.asarray(epoch_f, jnp.int32))
 
@@ -168,7 +215,7 @@ class Trainer:
             x, c, b_id = inp
             key = jax.random.fold_in(ekey, b_id)
             params, opt_state, report = self._batch_step(
-                params, opt_state, x, c, epoch_f, key
+                params, opt_state, x, c, epoch_f, key, axis_name=axis_name
             )
             return (params, opt_state), report
 
@@ -263,6 +310,7 @@ def train_vae_model(
     boot_loss_override: Callable | None = None,
     report_aux_override: Callable | None = None,
     boot_aux_override: Callable | None = None,
+    dp_shard_map: bool = False,
     metrics_path: str | None = None,
     ondevice: bool = False,
 ) -> tuple[dict, list[float]]:
@@ -292,7 +340,8 @@ def train_vae_model(
                       report_loss_override=report_loss_override,
                       boot_loss_override=boot_loss_override,
                       report_aux_override=report_aux_override,
-                      boot_aux_override=boot_aux_override)
+                      boot_aux_override=boot_aux_override,
+                      dp_shard_map=dp_shard_map)
     params = init_params
     opt_state = (
         init_opt_state
