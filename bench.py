@@ -75,19 +75,22 @@ def main() -> None:
     x_dev = jnp.asarray(x_sb)
     c_dev = jnp.asarray(c_sb)
 
-    # warmup / compile
-    params, opt_state, rep = trainer._step(
-        params, opt_state, x_dev, c_dev, jnp.float32(0),
-        jnp.arange(S, dtype=jnp.int32), trainer._base_key,
-    )
+    # warmup / compile (3 steps: the first compiles, the next two flush
+    # any donation-aliasing recompile and warm the dispatch path)
+    for it in range(3):
+        params, opt_state, rep = trainer._step(
+            params, opt_state, x_dev, c_dev, jnp.float32(it),
+            jnp.arange(S, dtype=jnp.int32), trainer._base_key,
+        )
     np.asarray(rep)
 
-    # timed
-    iters = 12
+    # timed, pipelined (sync once at the end; per-step fetches through
+    # the axon tunnel cost ~27ms RTT and would swamp the measurement)
+    iters = 24
     t0 = time.perf_counter()
     for it in range(iters):
         params, opt_state, rep = trainer._step(
-            params, opt_state, x_dev, c_dev, jnp.float32(it + 1),
+            params, opt_state, x_dev, c_dev, jnp.float32(it + 3),
             jnp.arange(S, dtype=jnp.int32), trainer._base_key,
         )
     np.asarray(rep)  # sync
