@@ -36,7 +36,7 @@ from ..data.pipeline import PrefetchLoader, sequential_batches
 from ..ops.losses import kl_weight_schedule
 from ..utils.logging import TLOG
 from ..utils.metrics import MetricsLogger
-from ..utils.profiling import StepTimer, annotate
+from ..utils.profiling import StepTimer, annotate, trace
 from .config import TrainingOptions
 
 
@@ -370,6 +370,13 @@ def train_vae_model(
             data_csc, covar_csc, ntot, B, covar_dim
         )
 
+    # device trace of the whole training phase when MMVAE_TRACE_DIR is
+    # set (SURVEY §5.1; no-op otherwise)
+    import contextlib
+
+    _trace_scope = contextlib.ExitStack()
+    _trace_scope.enter_context(trace())
+
     for epoch in range(start_epoch, opt.max_epoch):
         t0 = time.time()
         timer.reset()
@@ -462,6 +469,7 @@ def train_vae_model(
         if on_epoch_end is not None:
             on_epoch_end(epoch, params, opt_state, loss_vec)
 
+    _trace_scope.close()
     TLOG("Done training")
     return params, loss_vec
 
