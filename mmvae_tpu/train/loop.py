@@ -92,8 +92,6 @@ class Trainer:
         boot_loss_fn: Callable | None = None,
         report_loss_override: Callable | None = None,
         boot_loss_override: Callable | None = None,
-        report_aux_override: Callable | None = None,
-        boot_aux_override: Callable | None = None,
         dp_shard_map: bool = False,
     ):
         self.forward = forward
@@ -107,13 +105,6 @@ class Trainer:
         # Pallas NB ELBO kernel) that bypass the forward/loss split.
         self._report_override = report_loss_override
         self._boot_override = boot_loss_override
-        # aux-threading overrides: the reporting forward may compute
-        # batch-level auxiliary data (e.g. the per-tile fast-path flags
-        # of ops/nb_step.py) consumed by the same batch's boot steps.
-        # Signature: report (p, x, c, key, beta) -> (loss, aux);
-        # boot (p, x, c, key, beta, aux) -> loss.
-        self._report_aux_override = report_aux_override
-        self._boot_aux_override = boot_aux_override
         self.opt = opt
         self.kl_max, self.kl_min, self.kl_discount = kl
         self.optimizer = make_optimizer(opt)
@@ -157,10 +148,7 @@ class Trainer:
 
         # reporting loss: train-mode forward on the sequential batch,
         # no gradient step (mmvae_alg.hh:277-285)
-        aux = None
-        if self._report_aux_override is not None:
-            report, aux = self._report_aux_override(params, x, c, k_rep, beta)
-        elif self._report_override is not None:
+        if self._report_override is not None:
             report = self._report_override(params, x, c, k_rep, beta)
         else:
             out = self.forward(params, x, c, k_rep, True)
@@ -179,10 +167,7 @@ class Trainer:
             xb = jnp.take(x, ridx, axis=0)
             cb = jnp.take(c, ridx, axis=0) if c is not None else None
 
-            if self._boot_aux_override is not None:
-                def lf(p):
-                    return self._boot_aux_override(p, xb, cb, k_fwd, beta, aux)
-            elif self._boot_override is not None:
+            if self._boot_override is not None:
                 def lf(p):
                     return self._boot_override(p, xb, cb, k_fwd, beta)
             else:
@@ -235,19 +220,32 @@ class Trainer:
         epoch — input pipeline included — is one XLA computation with
         zero per-batch host traffic.  PRNG keys derive identically to
         the host-driven path, so trajectories are bit-identical.
+
+        The ELL arrays are passed as jit *arguments*, not closed over:
+        captured multi-GB device arrays would be baked into the lowered
+        program as constants.
         """
         nbatch = ntot // B + (1 if ntot % B else 0)
+        from ..ops.densify import densify_ell
 
-        def epoch_fn(params, opt_state, epoch_f, base_key):
+        D = data_csc.D
+        Dc = covar_csc.D if covar_csc is not None else covar_dim
+        covar_arrs = (
+            (covar_csc.ell_rows, covar_csc.ell_vals)
+            if covar_csc is not None else None
+        )
+
+        def epoch_fn(params, opt_state, epoch_f, base_key,
+                     drows, dvals, covar):
             ekey = jax.random.fold_in(base_key,
                                       jnp.asarray(epoch_f, jnp.int32))
 
             def scan_body(carry, b):
                 params, opt_state = carry
                 cols = (b * B + jnp.arange(B, dtype=jnp.int32)) % ntot
-                x = data_csc.densify(cols)
-                if covar_csc is not None:
-                    c = covar_csc.densify(cols)
+                x = densify_ell(drows, dvals, cols, D)
+                if covar is not None:
+                    c = densify_ell(covar[0], covar[1], cols, Dc)
                 else:
                     c = jnp.ones((B, covar_dim), jnp.float32)
                 key = jax.random.fold_in(ekey, b)
@@ -266,7 +264,8 @@ class Trainer:
 
         def run(params, opt_state, epoch: int):
             return jitted(params, opt_state, jnp.float32(epoch),
-                          self._base_key)
+                          self._base_key, data_csc.ell_rows,
+                          data_csc.ell_vals, covar_arrs)
 
         return run
 
@@ -308,8 +307,6 @@ def train_vae_model(
     boot_loss_fn: Callable | None = None,
     report_loss_override: Callable | None = None,
     boot_loss_override: Callable | None = None,
-    report_aux_override: Callable | None = None,
-    boot_aux_override: Callable | None = None,
     dp_shard_map: bool = False,
     metrics_path: str | None = None,
     ondevice: bool = False,
@@ -339,8 +336,6 @@ def train_vae_model(
                       boot_loss_fn=boot_loss_fn,
                       report_loss_override=report_loss_override,
                       boot_loss_override=boot_loss_override,
-                      report_aux_override=report_aux_override,
-                      boot_aux_override=boot_aux_override,
                       dp_shard_map=dp_shard_map)
     params = init_params
     opt_state = (
