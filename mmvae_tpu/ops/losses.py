@@ -65,12 +65,17 @@ def nb_nllik(
     losses use this (saves a (B, D) lgamma sweep per forward); reported
     losses keep the full formula for value parity with the reference.
     """
+    # positive-domain lgamma (shift + Stirling, ~1e-7 relative — the
+    # same approximation the Pallas kernels use): XLA's full-real-line
+    # lgamma is branch-heavy and dominates this dense loss on TPU
+    from .nb_elbo import _lgamma_pos
+
     eps = 1e-4
     nu = recon_nu + eps
     mu = recon_mu * recon_depth + eps
-    lg = jax.lax.lgamma(nu) - jax.lax.lgamma(nu + x)
+    lg = _lgamma_pos(nu) - _lgamma_pos(nu + x)
     if include_data_const:
-        lg = lg + jax.lax.lgamma(x + 1.0)
+        lg = lg + _lgamma_pos(x + 1.0)
     denom = jnp.log(mu + nu)
     pr = x * (denom - jnp.log(mu)) + nu * (denom - jnp.log(nu))
     return jnp.sum(lg + pr)
