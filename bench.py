@@ -40,7 +40,7 @@ def main() -> None:
 
     D = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     B = 100          # reference default batch size (mmvae.hh:35)
-    S = 16           # minibatches per dispatch
+    S = 64           # minibatches per dispatch (amortizes the ~2.3ms tunnel dispatch gap; saturates by 64)
     NBOOT = 3
 
     model = NBVAE(data_dim=D, covar_dim=1, mean_latent=2)
