@@ -41,8 +41,11 @@ struct BgzfIn {
     std::vector<uint8_t> ubuf;  // inflated payload of the cached block
     size_t within = 0;          // cursor within ubuf
     std::vector<uint8_t> cbuf;  // compressed scratch
+    z_stream zs;                // persistent raw-inflate stream
+    bool zs_ready = false;      // inflateInit2 done (Reset per block)
 
     ~BgzfIn() {
+        if (zs_ready) inflateEnd(&zs);
         if (f) fclose(f);
     }
 
@@ -93,15 +96,20 @@ struct BgzfIn {
         memcpy(&isize, cbuf.data() + data_len + 4, 4);
         ubuf.resize(isize);
         if (isize > 0) {
-            z_stream zs;
-            memset(&zs, 0, sizeof(zs));
-            if (inflateInit2(&zs, -15) != Z_OK) return false;
+            // one persistent z_stream per reader: inflateReset instead
+            // of a full init/end cycle per 64KB block
+            if (!zs_ready) {
+                memset(&zs, 0, sizeof(zs));
+                if (inflateInit2(&zs, -15) != Z_OK) return false;
+                zs_ready = true;
+            } else if (inflateReset(&zs) != Z_OK) {
+                return false;
+            }
             zs.next_in = cbuf.data();
             zs.avail_in = (uInt)data_len;
             zs.next_out = ubuf.data();
             zs.avail_out = isize;
             int r = inflate(&zs, Z_FINISH);
-            inflateEnd(&zs);
             if (r != Z_STREAM_END) return false;
         }
         next_coffset = co + bsize;
