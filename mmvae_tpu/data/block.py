@@ -175,10 +175,12 @@ class MtxMemoryBlock:
 
     def __init__(self, mtx_file: str | os.PathLike,
                  idx_file: str | os.PathLike = "",
-                 batch_size: int = 100):
+                 batch_size: int = 100,
+                 count_dtype: str = "float32"):
         self.mtx_file = os.fspath(mtx_file)
         self.idx_file = os.fspath(idx_file) if idx_file else ""
         self.B = int(batch_size)
+        self._want_narrow = count_dtype == "auto"
         from ..io.bgzf import is_bgzf
         from ..io.mtx import header_end_voffset, read_mtx_any
 
@@ -207,8 +209,24 @@ class MtxMemoryBlock:
         colcounts = np.bincount(cols[order], minlength=self.N)
         self._indptr = np.zeros(self.N + 1, dtype=np.int64)
         np.cumsum(colcounts, out=self._indptr[1:])
-        self._mem = np.zeros((self.B, self.D), dtype=np.float32)
-        TLOG(f"Loaded sparse matrix in memory: {self.D} x {self.N}")
+        # ``count_dtype="auto"``: emit the narrowest lossless integer
+        # batch buffer (counts are integers) — host->device transfer of
+        # the (B, D) batch is the CLI bottleneck at large D, and the
+        # compute paths widen integers to f32 bit-exactly.
+        buf_dtype = np.float32
+        if self._want_narrow and len(self._vals):
+            vmax = float(self._vals.max())
+            vmin = float(self._vals.min())
+            integral = bool(np.all(self._vals == np.trunc(self._vals)))
+            if integral and vmin >= 0.0:
+                if vmax <= 127.0:
+                    buf_dtype = np.int8
+                elif vmax <= 32767.0:
+                    buf_dtype = np.int16
+        self._mem = np.zeros((self.B, self.D), dtype=buf_dtype)
+        TLOG(f"Loaded sparse matrix in memory: {self.D} x {self.N}"
+             + (f" ({np.dtype(buf_dtype).name} batches)"
+                if buf_dtype is not np.float32 else ""))
 
     def size(self) -> int:
         return self.B
@@ -246,6 +264,12 @@ class MtxMemoryBlock:
     # device-friendly padded layout for the on-device densify kernel.
     def csc_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return self._rows, self._vals, self._indptr
+
+    def k_max(self) -> int:
+        """Largest per-column nonzero count (the padded-ELL row width)."""
+        if self.N == 0:
+            return 0
+        return int(np.diff(self._indptr).max())
 
 
 def create_ones_like(data_block, out_file: str) -> None:

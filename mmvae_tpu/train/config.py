@@ -39,6 +39,8 @@ class MMVaeOptions:
     kl_discount: float = 0.1
     kl_min: float = 1e-2
     kl_max: float = 1.0
+    # TPU-native addition: streaming vs in-memory data blocks
+    data_mode: str = "auto"  # auto | stream | memory
 
     @staticmethod
     def add_args(p: argparse.ArgumentParser) -> None:
@@ -58,6 +60,8 @@ class MMVaeOptions:
         p.add_argument("--kl_discount", type=float, default=0.1)
         p.add_argument("--kl_min", type=float, default=1e-2)
         p.add_argument("--kl_max", type=float, default=1.0)
+        p.add_argument("--data_mode", choices=("auto", "stream", "memory"),
+                       default="auto")
 
     @classmethod
     def from_args(cls, ns: argparse.Namespace) -> "MMVaeOptions":
@@ -66,6 +70,7 @@ class MMVaeOptions:
             annot=ns.annot, covar_mtx=ns.covar_mtx, covar_idx=ns.covar_idx,
             batch_size=ns.batch_size, kl_discount=ns.kl_discount,
             kl_min=ns.kl_min, kl_max=ns.kl_max,
+            data_mode=getattr(ns, "data_mode", "auto"),
         )
         opt.finalize()
         return opt
@@ -105,6 +110,8 @@ class TrainingOptions:
     dp_shard: bool = False       # shard_map DP: per-shard kernels + pmean
                                  # grads (multi-chip high-throughput mode)
     ondevice: bool = False       # device-resident sparse data, on-device epochs
+    auto_ondevice: bool = True   # flip ondevice on automatically when the
+                                 # padded-ELL data fits a safe HBM budget
     debug_nans: bool = False     # jax_debug_nans (SURVEY §5.2 analog)
 
     @staticmethod
@@ -131,6 +138,8 @@ class TrainingOptions:
         p.add_argument("--data_parallel", action="store_true")
         p.add_argument("--dp_shard", action="store_true")
         p.add_argument("--ondevice", action="store_true")
+        p.add_argument("--no_auto_ondevice", dest="auto_ondevice",
+                       action="store_false", default=True)
         p.add_argument("--debug_nans", action="store_true")
 
     @classmethod
@@ -143,7 +152,9 @@ class TrainingOptions:
             resume=ns.resume,
             checkpoint_dir=ns.checkpoint_dir, data_parallel=ns.data_parallel,
             dp_shard=ns.dp_shard,
-            ondevice=ns.ondevice, debug_nans=ns.debug_nans,
+            ondevice=ns.ondevice,
+            auto_ondevice=getattr(ns, "auto_ondevice", True),
+            debug_nans=ns.debug_nans,
         )
 
     def apply_runtime_config(self) -> None:

@@ -211,7 +211,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def make_ondevice_epoch(self, data_csc, covar_csc, ntot: int, B: int,
-                            covar_dim: int = 1):
+                            covar_dim: int = 1, encode_fn=None,
+                            extra_fn=None):
         """Compile a whole-epoch step for device-resident sparse data.
 
         The sequential wrap-around batch schedule
@@ -235,38 +236,56 @@ class Trainer:
             if covar_csc is not None else None
         )
 
-        def epoch_fn(params, opt_state, epoch_f, base_key,
-                     drows, dvals, covar):
-            ekey = jax.random.fold_in(base_key,
-                                      jnp.asarray(epoch_f, jnp.int32))
+        def make_epoch_fn(record: bool):
+            def epoch_fn(params, opt_state, epoch_f, base_key,
+                         drows, dvals, covar):
+                ekey = jax.random.fold_in(base_key,
+                                          jnp.asarray(epoch_f, jnp.int32))
 
-            def scan_body(carry, b):
-                params, opt_state = carry
-                cols = (b * B + jnp.arange(B, dtype=jnp.int32)) % ntot
-                x = densify_ell(drows, dvals, cols, D)
-                if covar is not None:
-                    c = densify_ell(covar[0], covar[1], cols, Dc)
-                else:
-                    c = jnp.ones((B, covar_dim), jnp.float32)
-                key = jax.random.fold_in(ekey, b)
-                params, opt_state, rep = self._batch_step(
-                    params, opt_state, x, c, epoch_f, key
+                def scan_body(carry, b):
+                    params, opt_state = carry
+                    cols = (b * B + jnp.arange(B, dtype=jnp.int32)) % ntot
+                    x = densify_ell(drows, dvals, cols, D)
+                    if covar is not None:
+                        c = densify_ell(covar[0], covar[1], cols, Dc)
+                    else:
+                        c = jnp.ones((B, covar_dim), jnp.float32)
+                    key = jax.random.fold_in(ekey, b)
+                    params, opt_state, rep = self._batch_step(
+                        params, opt_state, x, c, epoch_f, key
+                    )
+                    out = rep
+                    if record:
+                        # latent posterior right after this batch's
+                        # updates — same observation point as the host
+                        # path's recorder (mmvae_alg.hh:315-317)
+                        enc = encode_fn(params, x)
+                        extra = (extra_fn(params, x)
+                                 if extra_fn is not None else jnp.zeros(()))
+                        out = (rep, enc, extra)
+                    return (params, opt_state), out
+
+                (params, opt_state), outs = jax.lax.scan(
+                    scan_body, (params, opt_state),
+                    jnp.arange(nbatch, dtype=jnp.int32),
                 )
-                return (params, opt_state), rep
+                return params, opt_state, outs
 
-            (params, opt_state), reps = jax.lax.scan(
-                scan_body, (params, opt_state),
-                jnp.arange(nbatch, dtype=jnp.int32),
-            )
-            return params, opt_state, reps
+            return epoch_fn
 
-        jitted = jax.jit(epoch_fn, donate_argnums=(0, 1))
+        jitted = jax.jit(make_epoch_fn(False), donate_argnums=(0, 1))
+        jitted_rec = (
+            jax.jit(make_epoch_fn(True), donate_argnums=(0, 1))
+            if encode_fn is not None else None
+        )
 
-        def run(params, opt_state, epoch: int):
-            return jitted(params, opt_state, jnp.float32(epoch),
-                          self._base_key, data_csc.ell_rows,
-                          data_csc.ell_vals, covar_arrs)
+        def run(params, opt_state, epoch: int, record: bool = False):
+            fn = jitted_rec if (record and jitted_rec is not None) else jitted
+            return fn(params, opt_state, jnp.float32(epoch),
+                      self._base_key, data_csc.ell_rows,
+                      data_csc.ell_vals, covar_arrs)
 
+        run.can_record = encode_fn is not None
         return run
 
     # ------------------------------------------------------------------
@@ -349,6 +368,25 @@ def train_vae_model(
     metrics = MetricsLogger(metrics_path)
     timer = StepTimer()
 
+    # Auto-enable on-device epochs when safe: identical trajectories
+    # (the PRNG schedule matches the host path — tested) and no
+    # per-batch host->device traffic.  Requires in-memory data, a safe
+    # padded-ELL HBM footprint, and no device mesh (the on-device epoch
+    # runner is single-device).
+    if not ondevice and getattr(opt, "auto_ondevice", False) and mesh is None:
+        from ..data.block import MtxMemoryBlock
+
+        if isinstance(data_block, MtxMemoryBlock):
+            import os as _os
+
+            ell_bytes = 8 * ntot * data_block.k_max()
+            budget = int(_os.environ.get("MMVAE_ONDEVICE_BYTES", 4 << 30))
+            if 0 < ell_bytes <= budget:
+                TLOG(f"Auto-enabling on-device epochs "
+                     f"(ELL ~{ell_bytes / 1e6:,.0f} MB; "
+                     "--no_auto_ondevice to disable)")
+                ondevice = True
+
     epoch_runner = None
     if ondevice:
         from ..ops.densify import DeviceCSC
@@ -362,7 +400,9 @@ def train_vae_model(
                 _as_memory_block(covar_block)
             )
         epoch_runner = trainer.make_ondevice_epoch(
-            data_csc, covar_csc, ntot, B, covar_dim
+            data_csc, covar_csc, ntot, B, covar_dim,
+            encode_fn=(recorder.encode if recorder is not None else None),
+            extra_fn=(recorder.extra_fn if recorder is not None else None),
         )
 
     # device trace of the whole training phase when MMVAE_TRACE_DIR is
@@ -378,11 +418,22 @@ def train_vae_model(
         recording_now = (epoch + 1) % opt.recording == 0
         reports = []
 
-        if epoch_runner is not None and not (
-            recording_now and recorder is not None
+        record_now = recording_now and recorder is not None
+        if epoch_runner is not None and (
+            not record_now or epoch_runner.can_record
         ):
             with timer.phase("step"), annotate("ondevice_epoch"):
-                params, opt_state, rep = epoch_runner(params, opt_state, epoch)
+                params, opt_state, out = epoch_runner(
+                    params, opt_state, epoch, record=record_now
+                )
+            if record_now:
+                rep, enc, extra = out
+                recorder.ingest(batches, enc,
+                                extra if recorder.extra_fn is not None
+                                else None)
+                recorder.update_on_epoch(params, epoch)
+            else:
+                rep = out
             epoch_loss = float(np.asarray(rep).mean())
             loss_vec.append(epoch_loss)
             dt = time.time() - t0

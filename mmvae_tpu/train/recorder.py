@@ -109,6 +109,29 @@ class LatentRecorder:
             extra_out = self._ensure("extra_out", extra.shape[1])
             extra_out[batch[ok]] = extra[ok]
 
+    def ingest(self, batches, enc, extra=None) -> None:
+        """Consume a whole epoch of on-device-collected posteriors.
+
+        ``enc`` is the stacked ``(mean, lnvar)`` pair of shape
+        (nbatch, B, latent) produced by the on-device epoch runner;
+        ``batches`` the matching (nbatch, B) column schedule.  Batches
+        are applied in order, so wrap-around duplicates resolve to the
+        last visit — identical to the per-batch host path."""
+        mean_all = np.asarray(enc[0])
+        lnvar_all = np.asarray(enc[1])
+        mean_out = self._ensure("mean_out", mean_all.shape[2])
+        lnvar_out = self._ensure("lnvar_out", lnvar_all.shape[2])
+        extra_all = None
+        if extra is not None and self.extra_fn is not None:
+            extra_all = np.asarray(extra)
+            extra_out = self._ensure("extra_out", extra_all.shape[2])
+        for b, batch in enumerate(np.asarray(batches)):
+            ok = batch < self.ntot
+            mean_out[batch[ok]] = mean_all[b][ok]
+            lnvar_out[batch[ok]] = lnvar_all[b][ok]
+            if extra_all is not None:
+                extra_out[batch[ok]] = extra_all[b][ok]
+
     def update_on_epoch(self, params, epoch: int) -> None:
         tag = f"{self.header}_{zeropad(epoch, self.max_epoch)}"
         write_data_file(f"{tag}.{self.mean_name}.gz", self.mean_out)

@@ -68,3 +68,39 @@ def test_ondevice_with_recording(setup, tmp_path):
     )
     assert len(losses) == 2
     assert (tmp_path / "hdr_1.mu_mean.gz").exists()
+
+
+def test_ondevice_recording_matches_host(setup, tmp_path):
+    """Recording epochs on the on-device path produce the same latent
+    posterior artifacts as the per-batch host path."""
+    import gzip
+
+    from mmvae_tpu.train.recorder import LatentRecorder
+
+    data, covar, model = setup
+
+    def run(ondevice, tag):
+        topt = TrainingOptions(nboot=2, max_epoch=2, recording=2,
+                               superbatch=3, seed=0,
+                               auto_ondevice=False)
+        params = model.init(jax.random.PRNGKey(0))
+        rec = LatentRecorder(
+            str(tmp_path / tag), topt.max_epoch, data.ntot(),
+            encode_fn=lambda p, x: model.encode_mu(p, x),
+            write_params=False,
+        )
+        train_vae_model(
+            lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+            rec, data, covar, topt,
+            lambda x, out, beta: nb_loss(x, out, beta),
+            params, ondevice=ondevice,
+        )
+        def load(name):
+            f = tmp_path / f"{tag}_1.{name}.gz"
+            return np.loadtxt(gzip.open(f, "rt"))
+        return load("mu_mean"), load("mu_lnvar")
+
+    mh, lh = run(False, "host")
+    md, ld = run(True, "dev")
+    np.testing.assert_allclose(mh, md, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(lh, ld, rtol=1e-5, atol=1e-7)
