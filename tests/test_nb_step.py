@@ -172,3 +172,40 @@ def test_fallback_paths_used_for_hidden_decoder():
     loss = model.fused_step_report(params, x, c, key, jnp.float32(1.0))
     want = model.fused_loss(params, x, c, key, jnp.float32(1.0), True, True)
     np.testing.assert_allclose(float(loss), float(want), rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "B,D,R,C,Rn,lam,maxc",
+    [
+        (7, 520, 3, 2, 2, 0.8, 6),     # wider latents/covariates, odd B
+        (16, 512, 1, 1, 1, 0.8, 6),    # minimal dims, exact tiling
+        (9, 1537, 2, 3, 1, 5.0, 200),  # non-tile-aligned D, exact path
+        (24, 640, 4, 1, 2, 2.0, 7),    # boundary counts == 7
+    ],
+)
+def test_boot_grads_across_shapes(B, D, R, C, Rn, lam, maxc):
+    """Gradient parity for non-default architectures and odd shapes."""
+    args = _mk_inputs(B=B, D=D, R=R, C=C, Rn=Rn, lam=lam, max_count=maxc,
+                      seed=B * 7 + D)
+
+    def loss_v2(zm, wd, bias2, wn, depth):
+        a = list(args)
+        a[1], a[5], a[7], a[8], a[4] = zm, wd, bias2, wn, depth
+        return nb_step_boot(*a)
+
+    def loss_ref(zm, wd, bias2, wn, depth):
+        a = list(args)
+        a[1], a[5], a[7], a[8], a[4] = zm, wd, bias2, wn, depth
+        return xla_step_nll(*a, include_const=False)
+
+    sel = (args[1], args[5], args[7], args[8], args[4])
+    v2, g2 = jax.value_and_grad(loss_v2, argnums=range(5))(*sel)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=range(5))(*sel)
+    np.testing.assert_allclose(float(v2), float(vr), rtol=5e-5)
+    for name, a, b in zip(("zm", "wd", "bias2", "wn", "depth"), g2, gr):
+        scale = max(1e-3, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5 * scale,
+            err_msg=f"grad mismatch ({name}) at B={B} D={D} R={R} "
+                    f"C={C} Rn={Rn}",
+        )
