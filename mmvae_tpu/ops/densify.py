@@ -31,12 +31,24 @@ class DeviceCSC:
     """
 
     def __init__(self, rows: np.ndarray, vals: np.ndarray,
-                 indptr: np.ndarray, shape: tuple[int, int]):
+                 indptr: np.ndarray, shape: tuple[int, int],
+                 count_dtype: str = "float32"):
         self.D, self.N = shape
+        # narrow integer storage when lossless: counts are integers, so
+        # int8/int16 halves-to-quarters the HBM-resident values and the
+        # densified batches (the compute kernels widen bit-exactly)
+        val_dtype = np.float32
+        if count_dtype == "auto" and len(vals):
+            vmax, vmin = float(vals.max()), float(vals.min())
+            if (vmin >= 0.0 and np.all(vals == np.trunc(vals))):
+                if vmax <= 127.0:
+                    val_dtype = np.int8
+                elif vmax <= 32767.0:
+                    val_dtype = np.int16
         counts = np.diff(indptr)
         self.k_max = int(counts.max()) if len(counts) else 0
         ell_rows = np.full((self.N, self.k_max), -1, dtype=np.int32)
-        ell_vals = np.zeros((self.N, self.k_max), dtype=np.float32)
+        ell_vals = np.zeros((self.N, self.k_max), dtype=val_dtype)
         if len(rows):
             # vectorized ELL fill: each nonzero lands at
             # (its column, its within-column offset)
@@ -52,9 +64,11 @@ class DeviceCSC:
         self.ell_vals = jnp.asarray(ell_vals)
 
     @classmethod
-    def from_memory_block(cls, block) -> "DeviceCSC":
+    def from_memory_block(cls, block,
+                          count_dtype: str = "float32") -> "DeviceCSC":
         rows, vals, indptr = block.csc_arrays()
-        return cls(rows, vals, indptr, (block.nfeature(), block.ntot()))
+        return cls(rows, vals, indptr, (block.nfeature(), block.ntot()),
+                   count_dtype=count_dtype)
 
     def densify(self, cols: jax.Array) -> jax.Array:
         """(B,) column ids -> dense (B, D) batch, entirely on device."""
@@ -76,8 +90,9 @@ def densify_ell(
     # Row indices within a column are unique (CSC), so a scatter-SET
     # with unique_indices unlocks XLA's faster lowering; padded entries
     # are routed out of bounds and dropped.  Measured ~20% faster than
-    # a masked scatter-add on v5e.
+    # a masked scatter-add on v5e.  The batch keeps ell_vals' dtype
+    # (possibly int8/int16 — see DeviceCSC).
     r_oob = jnp.where(r >= 0, r, D)
     b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K))
-    out = jnp.zeros((B, D), jnp.float32)
+    out = jnp.zeros((B, D), ell_vals.dtype)
     return out.at[b_idx, r_oob].set(v, mode="drop", unique_indices=True)

@@ -194,6 +194,13 @@ class Trainer:
         axis_name=None,
     ):
         ekey = jax.random.fold_in(base_key, jnp.asarray(epoch_f, jnp.int32))
+        # integer count batches ride the host->device link narrow (int8/
+        # int16 from the in-memory block) but are widened on device
+        # before any compute so trajectories are identical across data
+        # modes and dtypes (integer x would change the precision path of
+        # the raw-x matmuls)
+        if jnp.issubdtype(x_sb.dtype, jnp.integer):
+            x_sb = x_sb.astype(jnp.float32)
 
         def scan_body(carry, inp):
             params, opt_state = carry
