@@ -24,6 +24,8 @@ mmvae_alg.hh:242-243).
 
 from __future__ import annotations
 
+import contextlib
+import os
 import time
 from typing import Callable
 
@@ -339,11 +341,12 @@ def train_vae_model(
 ) -> tuple[dict, list[float]]:
     """The high-level training loop (reference: mmvae_alg.hh:200-338).
 
-    With ``ondevice=True`` the data/covariate blocks are loaded once into
-    device-resident sparse (ELL) arrays and non-recording epochs run as a
-    single on-device XLA computation (same trajectories — the PRNG
-    schedule is identical).  Recording epochs fall back to the host path
-    so the recorder can observe per-batch state.
+    With ``ondevice=True`` (or auto-enabled — see below) the
+    data/covariate blocks are loaded once into device-resident sparse
+    (ELL) arrays and every epoch runs as a single on-device XLA
+    computation (same trajectories — the PRNG schedule is identical).
+    Recording epochs collect the per-batch latent posteriors as scan
+    outputs, which the recorder ingests in one fetch.
 
     Returns (trained params, per-epoch mean loss vector).
     """
@@ -384,10 +387,8 @@ def train_vae_model(
         from ..data.block import MtxMemoryBlock
 
         if isinstance(data_block, MtxMemoryBlock):
-            import os as _os
-
             ell_bytes = 8 * ntot * data_block.k_max()
-            budget = int(_os.environ.get("MMVAE_ONDEVICE_BYTES", 4 << 30))
+            budget = int(os.environ.get("MMVAE_ONDEVICE_BYTES", 4 << 30))
             if 0 < ell_bytes <= budget:
                 TLOG(f"Auto-enabling on-device epochs "
                      f"(ELL ~{ell_bytes / 1e6:,.0f} MB; "
@@ -414,8 +415,6 @@ def train_vae_model(
 
     # device trace of the whole training phase when MMVAE_TRACE_DIR is
     # set (SURVEY §5.1; no-op otherwise)
-    import contextlib
-
     _trace_scope = contextlib.ExitStack()
     _trace_scope.enter_context(trace())
 
