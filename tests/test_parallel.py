@@ -178,3 +178,35 @@ def test_dp_shard_map_matches_manual_simulation():
                     jax.tree_util.tree_leaves(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_dp_shard_map_with_fused_overrides():
+    """shard_map DP with the model's fused step overrides (the CLI's
+    --dp_shard configuration).  On CPU the kernels take their XLA
+    fallback — this covers the shard_map plumbing around them."""
+    _need_devices(8)
+    D, B, S = 64, 16, 2
+    model = NBVAE(data_dim=D, covar_dim=1)
+    rng = np.random.default_rng(3)
+    x_sb = rng.poisson(1.0, size=(S, B, D)).astype(np.float32)
+    c_sb = np.ones((S, B, 1), np.float32)
+
+    topt = TrainingOptions(nboot=2, superbatch=S, seed=0)
+    tr = Trainer(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        lambda x, o, b: nb_loss(x, o, b), topt, mesh=make_mesh(),
+        dp_shard_map=True,
+        report_loss_override=lambda p, x, c, k, b: (
+            model.fused_step_report(p, x, c, k, b)
+        ),
+        boot_loss_override=lambda p, x, c, k, b: (
+            model.fused_step_boot(p, x, c, k, b)
+        ),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    s = tr.optimizer.init(params)
+    params, s, rep = tr.step(params, s, x_sb, c_sb, 0, np.arange(S))
+    rep = np.asarray(rep)
+    assert rep.shape == (S,) and np.all(np.isfinite(rep))
+    leaf = np.asarray(jax.tree_util.tree_leaves(params)[0])
+    assert np.all(np.isfinite(leaf))
