@@ -251,14 +251,32 @@ class MtxMemoryBlock:
         self._mem.fill(0.0)
 
     def read(self, subcol) -> np.ndarray:
+        return self.read_into(subcol, self._mem)
+
+    def read_into(self, subcol, out: np.ndarray) -> np.ndarray:
+        """Stateless densify into a caller-provided zeroed (B, D) buffer.
+
+        Touches no shared mutable state (the CSC arrays are read-only
+        after construction), so concurrent calls with distinct buffers
+        are safe — required by the multi-threaded prefetch loader.
+        Vectorized: one flat gather/scatter instead of a per-column
+        Python loop (reference contract: include/mmvae_mem.hh:56-72).
+        """
         subcol = np.asarray(subcol, dtype=np.int64)
         assert len(subcol) == self.B, f"Need the columns for {self.B} samples"
-        for j, c in enumerate(subcol):
-            if c < 0 or c >= self.N:
-                continue
-            lo, hi = self._indptr[c], self._indptr[c + 1]
-            self._mem[j, self._rows[lo:hi]] = self._vals[lo:hi]
-        return self._mem
+        valid = np.flatnonzero((subcol >= 0) & (subcol < self.N))
+        cols = subcol[valid]
+        lo = self._indptr[cols]
+        lens = self._indptr[cols + 1] - lo
+        total = int(lens.sum())
+        if total:
+            # concatenate the CSC ranges [lo_i, lo_i+len_i) without a loop
+            ends = np.cumsum(lens)
+            pos = np.repeat(lo, lens) + np.arange(total) + np.repeat(
+                lens - ends, lens
+            )
+            out[np.repeat(valid, lens), self._rows[pos]] = self._vals[pos]
+        return out
 
     # Extra capability beyond the reference: export the CSC arrays in a
     # device-friendly padded layout for the on-device densify kernel.

@@ -52,22 +52,28 @@ class PrefetchLoader:
     def __len__(self) -> int:
         return len(self.batches)
 
+    @staticmethod
+    def _read_block(blk, batch: np.ndarray) -> np.ndarray:
+        if hasattr(blk, "read_into"):
+            # fresh buffer per call, matching the block's own buffer dtype
+            # (keeps the int8/int16 narrow-transfer optimization alive)
+            dtype = getattr(blk, "array", None)
+            dtype = dtype.dtype if dtype is not None else np.float32
+            return blk.read_into(
+                batch, np.zeros((blk.size(), blk.nfeature()), dtype)
+            )
+        # Foreign blocks without a stateless reader mutate shared state:
+        # serialize them (a races-by-default fallback corrupted batches
+        # in round 1).
+        with PrefetchLoader._FALLBACK_LOCK:
+            blk.clear()
+            return blk.read(batch).copy()
+
+    _FALLBACK_LOCK = threading.Lock()
+
     def _load_one(self, batch: np.ndarray):
-        db, cb = self.data_block, self.covar_block
-        if hasattr(db, "read_into"):
-            x = db.read_into(
-                batch, np.zeros((db.size(), db.nfeature()), np.float32)
-            )
-        else:
-            db.clear()
-            x = db.read(batch).copy()
-        if hasattr(cb, "read_into"):
-            c = cb.read_into(
-                batch, np.zeros((cb.size(), cb.nfeature()), np.float32)
-            )
-        else:
-            cb.clear()
-            c = cb.read(batch).copy()
+        x = self._read_block(self.data_block, batch)
+        c = self._read_block(self.covar_block, batch)
         return batch, x, c
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:

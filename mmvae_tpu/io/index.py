@@ -118,10 +118,14 @@ def read_mmutil_index(index_file: str | os.PathLike) -> np.ndarray:
     max_idx = max(cols)
     tab = np.full(max_idx + 1, MISSING_POS, dtype=np.int64)
     tab[np.asarray(cols)] = np.asarray(offs)
-    # exact reference quirk: single ascending pass, j < MaxIdx - 1
-    for j in range(max_idx - 1):
-        if tab[j] == MISSING_POS:
-            tab[j] = tab[j + 1]
+    # exact reference quirk: single ascending pass, j < MaxIdx - 1.
+    # Because the pass is ascending, tab[j] copies the ORIGINAL tab[j+1]
+    # (a run of missing columns fills only its last element), which a
+    # snapshot-based vectorized update reproduces exactly.
+    if max_idx >= 1:
+        head = tab[: max_idx - 1]
+        miss = head == MISSING_POS
+        head[miss] = tab[1:max_idx][miss]
     return tab
 
 

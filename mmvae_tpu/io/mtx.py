@@ -48,9 +48,13 @@ def _parse_text_triplets(
         parts = ln.split()
         if len(parts) < 3:
             continue
-        rows.append(int(parts[0]))
-        cols.append(int(parts[1]))
-        vals.append(float(parts[2]))
+        try:
+            r, c, w = int(parts[0]), int(parts[1]), float(parts[2])
+        except ValueError:
+            continue  # malformed line: skip, like the reference's parser
+        rows.append(r)
+        cols.append(c)
+        vals.append(w)
     return (
         np.asarray(rows, dtype=np.int64) - 1,
         np.asarray(cols, dtype=np.int64) - 1,
@@ -59,16 +63,26 @@ def _parse_text_triplets(
 
 
 def _fast_parse_clean(text: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
-    """Vectorized parse assuming no comments/short lines; None on doubt."""
-    if b"%" in text:
-        return None
+    """Vectorized parse via numpy's C text reader; None on doubt.
+
+    ``np.loadtxt`` (C engine, numpy >= 1.23; ``np.fromstring`` text mode
+    is gone in numpy 2.x) strips ``%`` comment lines itself, so a
+    mid-file comment — which the reference tolerates
+    (mmutil_bgzf_util.hh:104-109) — no longer demotes the whole read to
+    the per-line fallback.  Short/ragged lines still do.
+    """
+    import io
+
     try:
-        flat = np.fromstring(text.replace(b"\n", b" "), dtype=np.float64, sep=" ")  # noqa: NPY201
+        flat = np.loadtxt(io.BytesIO(text), dtype=np.float64, comments="%",
+                          ndmin=2)
     except Exception:
         return None
-    if flat.size % 3 != 0:
+    if flat.size == 0:
+        z = np.zeros(0)
+        return z.astype(np.int64), z.astype(np.int64), z.astype(np.float32)
+    if flat.shape[1] != 3:
         return None
-    flat = flat.reshape(-1, 3)
     return (
         flat[:, 0].astype(np.int64) - 1,
         flat[:, 1].astype(np.int64) - 1,
@@ -77,11 +91,7 @@ def _fast_parse_clean(text: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray] 
 
 
 def parse_triplet_text(text: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    import warnings
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", DeprecationWarning)
-        out = _fast_parse_clean(text)
+    out = _fast_parse_clean(text)
     if out is not None:
         return out
     return _parse_text_triplets(text)

@@ -45,9 +45,13 @@ def save_checkpoint(
     os.makedirs(ckpt_dir, exist_ok=True)
     flat_p = {f"params/{k}": v for k, v in _flatten(params).items()}
 
-    # Adam state: serialize leaves positionally with treedef repr as guard
-    opt_leaves, opt_treedef = jax.tree_util.tree_flatten(opt_state)
-    flat_o = {f"opt/{i}": np.asarray(l) for i, l in enumerate(opt_leaves)}
+    # Optimizer state: serialize leaves keyed by their full tree path
+    # (chain index + state field + param name) so a structurally
+    # different optimizer cannot silently absorb the wrong moments.
+    opt_paths, opt_treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    flat_o = {
+        f"opt/{jax.tree_util.keystr(p)}": np.asarray(l) for p, l in opt_paths
+    }
 
     path = os.path.join(ckpt_dir, "ckpt.npz")
     # note: np.savez appends ".npz" unless the name already ends with it
@@ -61,7 +65,7 @@ def save_checkpoint(
         "seed": seed,
         "loss_vec": [float(v) for v in loss_vec],
         "opt_treedef": str(opt_treedef),
-        "n_opt_leaves": len(opt_leaves),
+        "n_opt_leaves": len(opt_paths),
     }
     mpath = os.path.join(ckpt_dir, "meta.json")
     fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".json.tmp")
@@ -93,10 +97,30 @@ def load_checkpoint(ckpt_dir: str, params_template, opt_state_template):
         params_flat[k] = arr
     params = _unflatten_like(params_template, params_flat)
 
-    leaves_t, treedef = jax.tree_util.tree_flatten(opt_state_template)
-    if meta["n_opt_leaves"] != len(leaves_t):
+    paths_t, treedef = jax.tree_util.tree_flatten_with_path(opt_state_template)
+    if meta["n_opt_leaves"] != len(paths_t):
         raise ValueError("optimizer state structure changed; cannot resume")
-    opt_leaves = [data[f"opt/{i}"] for i in range(len(leaves_t))]
+    want = [f"opt/{jax.tree_util.keystr(p)}" for p, _ in paths_t]
+    stored = {k for k in data.files if k.startswith("opt/")}
+    if stored == set(want):
+        opt_leaves = []
+        for key, (_, leaf_t) in zip(want, paths_t):
+            arr = data[key]
+            if arr.shape != np.shape(leaf_t):
+                raise ValueError(
+                    f"checkpoint shape mismatch for {key}: "
+                    f"{arr.shape} vs {np.shape(leaf_t)}"
+                )
+            opt_leaves.append(arr)
+    elif stored == {f"opt/{i}" for i in range(len(paths_t))}:
+        # legacy round-1 positional checkpoints (pre named-key guard)
+        opt_leaves = [data[f"opt/{i}"] for i in range(len(paths_t))]
+    else:
+        raise ValueError(
+            "optimizer state structure changed; cannot resume "
+            f"(missing: {sorted(set(want) - stored)[:3]}, "
+            f"unexpected: {sorted(stored - set(want))[:3]})"
+        )
     opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
 
     return params, opt_state, meta["epoch"] + 1, list(meta["loss_vec"])

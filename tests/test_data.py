@@ -81,6 +81,71 @@ def test_sequential_batches_wraparound():
     assert batches[2].tolist() == [8, 9, 0, 1]  # wrap-around, mmvae_alg.hh:261-266
 
 
+def test_memory_block_read_into_stateless(mtx_file, rng):
+    path, idx, dens = mtx_file
+    B = 9
+    mb = MtxMemoryBlock(path, idx, B)
+    sub = rng.integers(0, dens.shape[1], size=B)
+    out = mb.read_into(sub, np.zeros((B, mb.nfeature()), np.float32))
+    assert np.array_equal(out, dens[:, sub].T)
+    # shared buffer untouched
+    assert not mb.array.any()
+    # duplicates + out-of-range columns
+    sub2 = np.array([2, 2, 2, 5, 5, 0, dens.shape[1] + 7, 1, 1])
+    out2 = mb.read_into(sub2, np.zeros((B, mb.nfeature()), np.float32))
+    expect = np.zeros_like(out2)
+    ok = sub2 < dens.shape[1]
+    expect[ok] = dens[:, sub2[ok]].T
+    assert np.array_equal(out2, expect)
+
+
+def test_prefetch_loader_threaded_memory_block(mtx_file):
+    """Round-1 race: a 4-worker loader over MtxMemoryBlock corrupted
+    batches via the shared buffer.  read_into makes it batch-exact."""
+    path, idx, dens = mtx_file
+    B = 10
+    db = MtxMemoryBlock(path, idx, B)
+    cb = MtxMemoryBlock(path, idx, B)
+    batches = sequential_batches(dens.shape[1], B)
+    loader = PrefetchLoader(db, cb, batches, depth=3, workers=4)
+    seen = 0
+    for batch, x, c in loader:
+        assert np.array_equal(x, dens[:, batch].T)
+        assert np.array_equal(c, dens[:, batch].T)
+        seen += 1
+    assert seen == len(batches)
+
+
+def test_prefetch_loader_foreign_block_serialized(mtx_file):
+    """Blocks without read_into fall back to a lock-serialized
+    clear/read/copy and must still be batch-exact under 4 workers."""
+    path, idx, dens = mtx_file
+    B = 10
+
+    class ForeignBlock:
+        def __init__(self):
+            self._mb = MtxMemoryBlock(path, idx, B)
+
+        def size(self):
+            return self._mb.size()
+
+        def nfeature(self):
+            return self._mb.nfeature()
+
+        def clear(self):
+            self._mb.clear()
+
+        def read(self, sub):
+            return self._mb.read(sub)
+
+    db = ForeignBlock()
+    cb = ForeignBlock()
+    batches = sequential_batches(dens.shape[1], B)
+    for batch, x, c in PrefetchLoader(db, cb, batches, depth=3, workers=4):
+        assert np.array_equal(x, dens[:, batch].T)
+        assert np.array_equal(c, dens[:, batch].T)
+
+
 def test_prefetch_loader(mtx_file):
     path, idx, dens = mtx_file
     B = 10

@@ -60,3 +60,25 @@ def test_memory_block_plain_gzip(tmp_path, rng):
     mb = MtxMemoryBlock(path, batch_size=6)
     got = mb.read(np.array([0, 5, 24, 5, 1, 2]))
     assert np.array_equal(got, dens[:, [0, 5, 24, 5, 1, 2]].T)
+
+
+def test_fast_parser_numpy2_and_comments():
+    """np.fromstring is gone in numpy 2.x; the loadtxt-based fast path
+    must parse comment-bearing bodies without demoting to per-line mode
+    (reference tolerates mid-file comments, mmutil_bgzf_util.hh:104-109)."""
+    import numpy as np
+    from mmvae_tpu.io.mtx import _fast_parse_clean, parse_triplet_text
+
+    body = b"1 1 3\n% a mid-file comment\n2 2 4.5\n"
+    out = _fast_parse_clean(body)
+    assert out is not None, "comment body fell off the fast path"
+    r, c, v = out
+    assert r.tolist() == [0, 1] and c.tolist() == [0, 1]
+    assert np.allclose(v, [3.0, 4.5])
+
+    # ragged/malformed bodies degrade gracefully to the tolerant parser
+    r, c, v = parse_triplet_text(b"1 1 3\n2 2\n2 2 bad\n3 3 7\n")
+    assert r.tolist() == [0, 2] and v.tolist() == [3.0, 7.0]
+
+    r, c, v = parse_triplet_text(b"")
+    assert len(r) == 0 and len(c) == 0 and len(v) == 0

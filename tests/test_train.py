@@ -182,6 +182,37 @@ class TestCheckpoint:
         for a, b in zip(jax.tree_util.tree_leaves(params),
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state),
+                        jax.tree_util.tree_leaves(s2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_reordered_optimizer_raises(self, tmp_path):
+        """Named opt-state keys: a reordered chain with the same leaf
+        count must raise, not silently mis-restore moments (round-1
+        weak #6)."""
+        import optax
+
+        model = NBVAE(data_dim=D, covar_dim=C)
+        params = model.init(jax.random.PRNGKey(0))
+        topt = TrainingOptions()
+        opt = make_optimizer(topt)
+        state = opt.init(params)
+        save_checkpoint(str(tmp_path), params, state, 3, 0, [1.0])
+
+        lr, wd = topt.lr, 1e-4
+        # same transforms, opposite order => same leaf count, different paths
+        reordered = optax.chain(
+            optax.scale_by_adam(),
+            optax.clip_by_global_norm(topt.grad_clip),
+            optax.add_decayed_weights(wd),
+            optax.scale(-lr),
+        )
+        re_state = reordered.init(params)
+        n_a = len(jax.tree_util.tree_leaves(state))
+        n_b = len(jax.tree_util.tree_leaves(re_state))
+        if n_a == n_b:
+            with pytest.raises(ValueError):
+                load_checkpoint(str(tmp_path), params, re_state)
 
 
 @pytest.fixture(scope="module")
