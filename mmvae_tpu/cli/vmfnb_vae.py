@@ -91,14 +91,18 @@ def main(argv=None) -> int:
         def loss_fn(x, out, beta):
             return mixture_composite_loss(x, out, beta, dd)
 
+        # The reference records with the model FROZEN
+        # (model->train(false), vmfnb_mixture.hh:741-795): the vMF latent
+        # is a hard Gumbel one-hot draw (:692-695), taken with a fixed
+        # key so recording is deterministic.
+        _record_key = jax.random.PRNGKey(topt.seed)
+
         def encode_fn(p, x):
-            # record the responsibility-weighted posterior
-            # (vmfnb_mixture recorder: nb_encode_mu(x, vmf latent))
-            vmf = model.vmf_forward(p, x, jax.random.PRNGKey(0), True)
+            vmf = model.vmf_forward(p, x, _record_key, False)
             return model.nb_encode_mu(p, x, vmf.latent)
 
         def extra_fn(p, x):
-            vmf = model.vmf_forward(p, x, jax.random.PRNGKey(0), True)
+            vmf = model.vmf_forward(p, x, _record_key, False)
             return vmf.latent
 
         recorder = LatentRecorder(

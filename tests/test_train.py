@@ -300,7 +300,23 @@ class TestCLI:
         assert os.path.exists(out + "_1.clust.gz")
         with gzip.open(out + "_1.clust.gz", "rt") as f:
             clust = np.array([ln.split() for ln in f.readlines()], float)
-        assert clust.shape == (80, 2)  # N x K responsibilities
+        assert clust.shape == (80, 2)  # N x K assignments
+        # eval-mode recording: hard Gumbel one-hot rows, not soft
+        # responsibilities (vmfnb_mixture.hh:692-695, 741-795)
+        assert np.array_equal(np.sort(clust, axis=1),
+                              np.tile([0.0, 1.0], (80, 1)))
+
+        # the on-device recording path must produce identical artifacts
+        out2 = str(tmp_path / "mix_ondev")
+        r2 = _run_cli("mmvae_tpu.cli.vmfnb_vae", [
+            "--mtx", train_mtx, "--out", out2, "--max_epoch", "2",
+            "--recording", "2", "--batch_size", "40",
+            "--row", rows, "--annot", annot, "--ondevice",
+        ])
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        with gzip.open(out2 + "_1.clust.gz", "rt") as f:
+            clust2 = np.array([ln.split() for ln in f.readlines()], float)
+        assert np.array_equal(clust, clust2)
 
     def test_nb_vae_checkpoint_resume(self, train_mtx, tmp_path):
         out = str(tmp_path / "ck")
