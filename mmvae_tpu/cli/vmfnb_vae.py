@@ -157,6 +157,22 @@ def main(argv=None) -> int:
 
         mesh = make_mesh()
 
+    # Fused step path (default): the NB half (direct decoder +
+    # likelihood) runs in the single-pass Pallas kernels (joint variant
+    # of ops/nb_step.py); the vMF half stays in XLA.  --no_fused_step
+    # opts out; hidden mu decoders fall back automatically.
+    fused_kw = {}
+    if topt.fused and topt.fused_step and model._can_fuse_step():
+        fused_kw = dict(
+            report_loss_override=lambda p, x, c, k, b: (
+                model.fused_step_report(p, x, c, k, b,
+                                        include_data_const=True)
+            ),
+            boot_loss_override=lambda p, x, c, k, b: (
+                model.fused_step_boot(p, x, c, k, b)
+            ),
+        )
+
     params, scores = train_vae_model(
         forward, recorder, data_block, covar_block, topt, loss_fn, params,
         kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
@@ -167,6 +183,7 @@ def main(argv=None) -> int:
         on_epoch_end=on_epoch_end,
         metrics_path=opts.out + ".metrics.jsonl",
         ondevice=topt.ondevice,
+        **fused_kw,
     )
 
     write_vector_file(opts.out + ".scores.gz", prev_losses + scores)

@@ -170,6 +170,19 @@ class VMFNBVAE:
         ret = jnp.exp(linear_apply(params["nb_nu_decoding"], z) - params["nu_bias"])
         return jnp.clip(ret, 0.0, self.nu_max)
 
+    def kappa_head(self, params: dict, x: jax.Array) -> jax.Array:
+        """Per-sample kappa, clamped with fasterlog bounds
+        (vmfnb.hh:535-538)."""
+        from ..ops.fastmath import fasterlog
+
+        return jnp.exp(
+            jnp.clip(
+                linear_apply(params["ln_kappa"], x),
+                fasterlog(self.kappa_min),
+                fasterlog(self.kappa_max),
+            )
+        )
+
     def forward(
         self,
         params: dict,
@@ -193,39 +206,120 @@ class VMFNBVAE:
         vmf_recon = self.vmf_decode_mu(
             params, reparameterize(k_vmf, mu_mean, mu_lnvar, training)
         )
-        # the reference clamps with fasterlog bounds (vmfnb.hh:535-538)
-        from ..ops.fastmath import fasterlog
-
-        kappa = jnp.exp(
-            jnp.clip(
-                linear_apply(params["ln_kappa"], x),
-                fasterlog(self.kappa_min),
-                fasterlog(self.kappa_max),
-            )
-        )
+        kappa = self.kappa_head(params, x)
         return VMFNBVAEOutput(
             nb_mu, nb_nu, depth, mu_mean, mu_lnvar, nu_mean, nu_lnvar,
             vmf_recon, kappa,
         )
+
+    # ------------------------------------------------------------------
+    # Fused step path: the NB half (direct decoder + likelihood) runs in
+    # the single-pass Pallas kernels (ops/nb_step.py, joint variant with
+    # pb-outside-softmax and exp-nu); the vMF half stays in XLA.
+    # ------------------------------------------------------------------
+    def _can_fuse_step(self) -> bool:
+        return not self.mean_decoding
+
+    def _step_prelude(self, params, x, key, training=True):
+        """Latents + stacked kernel args; key split and encoder math
+        identical to :meth:`forward`."""
+        k_nb, k_nu, k_vmf = jax.random.split(key, 3)
+        mu_mean, mu_lnvar = self.shared_encode_mu(params, x)
+        z_nb = reparameterize(k_nb, mu_mean, mu_lnvar, training)
+        nu_mean, nu_lnvar = self.nb_encode_nu(params, x)
+        z_nu = reparameterize(k_nu, nu_mean, nu_lnvar, training)
+        depth = jax.nn.softplus(linear_apply(params["depth"], x))
+
+        vmf_recon = self.vmf_decode_mu(
+            params, reparameterize(k_vmf, mu_mean, mu_lnvar, training)
+        )
+        kappa = self.kappa_head(params, x)
+        kl = gaussian_kl(mu_mean, mu_lnvar) + gaussian_kl(nu_mean, nu_lnvar)
+
+        dec = params["nb_mu_decoding"]
+        nud = params["nb_nu_decoding"]
+        return dict(
+            z_nb=z_nb,
+            z_nu=z_nu,
+            depth=depth,
+            wd=dec["weight"],
+            bias2=dec["bias"],
+            wn=nud["weight"],
+            bias_n=nud["bias"] - params["nu_bias"][0],
+            pb=params["mu_bias"][0],
+            vmf_recon=vmf_recon,
+            kappa=kappa,
+            kl=kl,
+        )
+
+    def _zero_covar(self, x):
+        # the joint model has no covariate pathway; the kernels expect a
+        # (B, C) covariate and its (C, D) weight — feed zeros
+        B = x.shape[0]
+        return (jnp.zeros((B, 1), jnp.float32),
+                jnp.zeros((1, self.data_dim), jnp.float32))
+
+    def fused_step_report(self, params, x, c, key, beta,
+                          include_data_const: bool = True):
+        from ..ops.nb_step import nb_step_report
+
+        if not self._can_fuse_step():
+            out = self.forward(params, jnp.asarray(x, jnp.float32), key,
+                               True)
+            return vmfnb_composite_loss(x, out, beta)
+        pre = self._step_prelude(params, x, key)
+        cz, wcz = self._zero_covar(x)
+        nll = nb_step_report(
+            x, pre["z_nb"], cz, pre["z_nu"], pre["depth"],
+            pre["wd"], wcz, pre["bias2"], pre["wn"], pre["bias_n"],
+            include_const=include_data_const, pb=pre["pb"], nu_exp=True,
+        )
+        vmf = vmf_nllik_parts(x, pre["vmf_recon"], pre["kappa"])
+        n = x.shape[0]
+        return (nll + vmf + beta * pre["kl"]) / n
+
+    def fused_step_boot(self, params, x, c, key, beta):
+        from ..ops.nb_step import nb_step_boot_joint
+
+        if not self._can_fuse_step():
+            out = self.forward(params, jnp.asarray(x, jnp.float32), key,
+                               True)
+            return vmfnb_composite_loss(x, out, beta)
+        pre = self._step_prelude(params, x, key)
+        cz, wcz = self._zero_covar(x)
+        nll = nb_step_boot_joint(
+            x, pre["z_nb"], cz, pre["z_nu"], pre["depth"],
+            pre["wd"], wcz, pre["bias2"], pre["wn"], pre["bias_n"],
+            pre["pb"],
+        )
+        vmf = vmf_nllik_parts(x, pre["vmf_recon"], pre["kappa"])
+        n = x.shape[0]
+        return (nll + vmf + beta * pre["kl"]) / n
 
 
 # ----------------------------------------------------------------------
 # losses (reference: vmfnb.hh:551-599, 727-758)
 # ----------------------------------------------------------------------
 
-def vmfnb_vmf_nllik(x: jax.Array, out: VMFNBVAEOutput) -> jax.Array:
-    """Per-sample vMF negative log-likelihood, summed (vmfnb.hh:554-574)."""
+def vmf_nllik_parts(x: jax.Array, vmf_recon: jax.Array,
+                    vmf_kappa: jax.Array) -> jax.Array:
+    """Per-sample vMF negative log-likelihood from raw pieces, summed
+    (vmfnb.hh:554-574)."""
     dd = float(x.shape[1])
     eps = 1e-2 / dd
     yobs = l2_normalize(jnp.log1p(jax.nn.relu(x)) + eps, axis=1)
     df = max(0.5 * dd - 1.0, 0.0)
-    kappa = out.vmf_kappa[:, 0]  # per-sample scalar
-    llik = jnp.sum(yobs * out.vmf_recon, axis=1) * kappa
+    kappa = vmf_kappa[:, 0]  # per-sample scalar
+    llik = jnp.sum(yobs * vmf_recon, axis=1) * kappa
     from ..ops.fastmath import fasterlog
 
     llik += df * jnp.log(kappa) - lbessel(kappa, df)
     llik -= 0.5 * dd * fasterlog(2.0 * math.pi)
     return -jnp.sum(llik)
+
+
+def vmfnb_vmf_nllik(x: jax.Array, out: VMFNBVAEOutput) -> jax.Array:
+    return vmf_nllik_parts(x, out.vmf_recon, out.vmf_kappa)
 
 
 def vmfnb_nb_nllik(x: jax.Array, out: VMFNBVAEOutput) -> jax.Array:

@@ -262,25 +262,113 @@ class VMFNBMixtureVAE:
             vmf.recon, vmf.logits, vmf.kappa, vmf.latent,
         )
 
+    # ------------------------------------------------------------------
+    # Fused step path: identical NB decoder structure to the joint model
+    # (pb outside log_softmax, exp-nu), so it reuses the joint kernel
+    # variant; the vMF mixture (E-step + masked directions) stays XLA.
+    # ------------------------------------------------------------------
+    def _can_fuse_step(self) -> bool:
+        return not self.mean_decoding
+
+    def _step_prelude(self, params, x, key, training=True):
+        k_gumbel, k_mu, k_nu = jax.random.split(key, 3)
+        vmf = self.vmf_forward(params, x, k_gumbel, training)
+        mu_mean, mu_lnvar = self.nb_encode_mu(params, x, vmf.latent)
+        z_mu = reparameterize(k_mu, mu_mean, mu_lnvar, training)
+        nu_mean, nu_lnvar = self.nb_encode_nu(params, x)
+        z_nu = reparameterize(k_nu, nu_mean, nu_lnvar, training)
+        depth = jax.nn.softplus(linear_apply(params["depth"], x))
+        kl = (gaussian_kl(mu_mean, mu_lnvar)
+              + gaussian_kl(nu_mean, nu_lnvar)
+              + uniform_kl(vmf.logits))
+
+        dec = params["nb_mu_decoding"]
+        nud = params["nb_nu_decoding"]
+        return dict(
+            z_mu=z_mu,
+            z_nu=z_nu,
+            depth=depth,
+            wd=dec["weight"],
+            bias2=dec["bias"],
+            wn=nud["weight"],
+            bias_n=nud["bias"] - params["nu_bias"][0],
+            pb=params["mu_bias"][0],
+            vmf=vmf,
+            kl=kl,
+        )
+
+    def _zero_covar(self, x):
+        B = x.shape[0]
+        return (jnp.zeros((B, 1), jnp.float32),
+                jnp.zeros((1, self.data_dim), jnp.float32))
+
+    def fused_step_report(self, params, x, c, key, beta,
+                          include_data_const: bool = True):
+        from ..ops.nb_step import nb_step_report
+
+        if not self._can_fuse_step():
+            out = self.forward(params, jnp.asarray(x, jnp.float32), key,
+                               True)
+            return mixture_composite_loss(x, out, beta, self.dd)
+        pre = self._step_prelude(params, x, key)
+        cz, wcz = self._zero_covar(x)
+        nll = nb_step_report(
+            x, pre["z_mu"], cz, pre["z_nu"], pre["depth"],
+            pre["wd"], wcz, pre["bias2"], pre["wn"], pre["bias_n"],
+            include_const=include_data_const, pb=pre["pb"], nu_exp=True,
+        )
+        vmf_nll = _mixture_vmf_nllik_parts(
+            x, pre["vmf"].recon, pre["vmf"].kappa, self.dd
+        )
+        n = x.shape[0]
+        return (nll + vmf_nll + beta * pre["kl"]) / n
+
+    def fused_step_boot(self, params, x, c, key, beta):
+        from ..ops.nb_step import nb_step_boot_joint
+
+        if not self._can_fuse_step():
+            out = self.forward(params, jnp.asarray(x, jnp.float32), key,
+                               True)
+            return mixture_composite_loss(x, out, beta, self.dd)
+        pre = self._step_prelude(params, x, key)
+        cz, wcz = self._zero_covar(x)
+        nll = nb_step_boot_joint(
+            x, pre["z_mu"], cz, pre["z_nu"], pre["depth"],
+            pre["wd"], wcz, pre["bias2"], pre["wn"], pre["bias_n"],
+            pre["pb"],
+        )
+        vmf_nll = _mixture_vmf_nllik_parts(
+            x, pre["vmf"].recon, pre["vmf"].kappa, self.dd
+        )
+        n = x.shape[0]
+        return (nll + vmf_nll + beta * pre["kl"]) / n
+
 
 # ----------------------------------------------------------------------
 # losses (reference: vmfnb_mixture.hh:607-654, 812-848)
 # ----------------------------------------------------------------------
 
-def mixture_vmf_nllik(
-    x: jax.Array, out: VMFNBMixtureOutput, dd: float
+def _mixture_vmf_nllik_parts(
+    x: jax.Array, recon: jax.Array, kappa2d: jax.Array, dd: float
 ) -> jax.Array:
-    """vMF NLL over the masked feature set (vmfnb_mixture.hh:610-629)."""
+    """vMF NLL over the masked feature set from raw pieces
+    (vmfnb_mixture.hh:610-629)."""
     eps = 1e-2 / dd
     yobs = l2_normalize(jnp.log1p(jax.nn.relu(x)) + eps, axis=1)
     df = max(0.5 * dd - 1.0, 0.0)
-    kappa = out.vmf_kappa[:, 0]
-    llik = jnp.sum(yobs * out.vmf_recon, axis=1) * kappa
+    kappa = kappa2d[:, 0]
+    llik = jnp.sum(yobs * recon, axis=1) * kappa
     from ..ops.fastmath import fasterlog
 
     llik += df * jnp.log(kappa) - lbessel(kappa, df)
     llik -= 0.5 * dd * fasterlog(2.0 * math.pi)
     return -jnp.sum(llik)
+
+
+def mixture_vmf_nllik(
+    x: jax.Array, out: VMFNBMixtureOutput, dd: float
+) -> jax.Array:
+    return _mixture_vmf_nllik_parts(x, out.vmf_recon, out.vmf_kappa, dd)
 
 
 def mixture_composite_loss(

@@ -73,15 +73,25 @@ def _ceil_to(n: int, m: int) -> int:
 # XLA fallback / semantic spec
 # ----------------------------------------------------------------------
 
-def xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
-                 include_const: bool = False):
-    """Plain-XLA spec of the fused step NLL (differentiable)."""
+def xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb=None,
+                 include_const: bool = False, nu_exp: bool = False):
+    """Plain-XLA spec of the fused step NLL (differentiable).
+
+    ``pb`` is an optional (D,) log-bias applied AFTER log_softmax (the
+    joint model's mu_bias placement, vmfnb.hh:466); ``nu_exp`` switches
+    the overdispersion decode from softplus-clip (nb.hh:453-460) to
+    ``clamp(exp(.), 0, NU_HI)`` (vmfnb.hh:488-493)."""
     x = jnp.asarray(x, jnp.float32)
     h = zm @ wd + c @ wc + bias2
     ls = jax.nn.log_softmax(h, axis=1)
+    if pb is not None:
+        ls = ls + pb
     mu = jnp.exp(ls) * depth + EPS
     nu_pre = zn @ wn + bias_n
-    nu = jnp.clip(jax.nn.softplus(nu_pre), NU_LO, NU_HI) + EPS
+    if nu_exp:
+        nu = jnp.clip(jnp.exp(nu_pre), 0.0, NU_HI) + EPS
+    else:
+        nu = jnp.clip(jax.nn.softplus(nu_pre), NU_LO, NU_HI) + EPS
     denom = jnp.log(mu + nu)
     terms = (
         jax.lax.lgamma(nu)
@@ -218,7 +228,10 @@ def _lse_call(zm, c, W, bp: int, Dp: int, td: int, D: int, R: int, C: int):
 # ----------------------------------------------------------------------
 
 def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
-                       x_is_int: bool):
+                       x_is_int: bool, has_pb: bool = False,
+                       nu_exp: bool = False):
+    pbi = R + C + 2 + Rn  # stacked row of the post-softmax log-bias
+
     def kernel(x_ref, zm_ref, c_ref, zn_ref, depth_ref, lse_ref, w_ref,
                nll_ref, acc_ref, lg_ref):
         j = pl.program_id(0)
@@ -234,9 +247,14 @@ def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
         h = _compute_h(wt, zm_ref, c_ref, R, C)
         ls = h - lse_ref[:]
         p = jnp.exp(ls)
+        if has_pb:
+            p = p * jnp.exp(wt[pbi:pbi + 1, :])
         mu = p * depth_ref[:] + EPS
         nupre = _compute_nupre(wt, zn_ref, R, C, Rn)
-        nu = jnp.clip(jax.nn.softplus(nupre), NU_LO, NU_HI) + EPS
+        if nu_exp:
+            nu = jnp.clip(jnp.exp(nupre), 0.0, NU_HI) + EPS
+        else:
+            nu = jnp.clip(jax.nn.softplus(nupre), NU_LO, NU_HI) + EPS
 
         fast = _fast_flag(x, valid, x_is_int) > 0.5
 
@@ -271,7 +289,8 @@ def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
     return kernel
 
 
-def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const):
+def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
+                has_pb=False, nu_exp=False):
     bp, Dp = x.shape
     td = _TD
     nj = Dp // td
@@ -279,7 +298,7 @@ def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const):
     R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
     x_is_int = jnp.issubdtype(x.dtype, jnp.integer)
     kernel = _make_value_kernel(R, C, Rn, td, D, B, bp, with_const,
-                                x_is_int)
+                                x_is_int, has_pb, nu_exp)
     nll = pl.pallas_call(
         kernel,
         grid=(nj,),
@@ -308,8 +327,10 @@ def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const):
 # kernel 2b: fused value + gradients (ONE pass over x)
 # ----------------------------------------------------------------------
 
-def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool):
-    base = R + C + 1  # rows: wd | wc | bias2 | wn | bias_n
+def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
+                         has_pb: bool = False, nu_exp: bool = False):
+    base = R + C + 1  # rows: wd | wc | bias2 | wn | bias_n | [pb]
+    pbi = base + Rn + 1
 
     def kernel(x_ref, zm_ref, c_ref, zn_ref, depth_ref, lse_ref, w_ref,
                nll_ref, gout_ref, rsum_ref, u1_ref, dzn_ref, dd_ref,
@@ -332,10 +353,21 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool):
         h = _compute_h(wt, zm_ref, c_ref, R, C)
         ls = h - lse_ref[:]
         p = jnp.exp(ls)
-        mu = p * depth + EPS
+        if has_pb:
+            # post-softmax bias: mu scales by exp(pb); the softmax
+            # coupling term (finisher kernel) still uses plain p, so
+            # fold exp(pb) into a separate effective probability
+            pe = p * jnp.exp(wt[pbi:pbi + 1, :])
+        else:
+            pe = p
+        mu = pe * depth + EPS
         nupre = _compute_nupre(wt, zn_ref, R, C, Rn)
-        sp = jax.nn.softplus(nupre)
-        nu = jnp.clip(sp, NU_LO, NU_HI) + EPS
+        if nu_exp:
+            sp = jnp.exp(nupre)
+            nu = jnp.clip(sp, 0.0, NU_HI) + EPS
+        else:
+            sp = jax.nn.softplus(nupre)
+            nu = jnp.clip(sp, NU_LO, NU_HI) + EPS
 
         # lgamma/digamma differences: fast product path when all counts
         # in the tile are small integers, Stirling shift otherwise
@@ -363,16 +395,20 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool):
 
         inv_mn = 1.0 / (mu + nu)
         dmu = jnp.where(valid, x * (inv_mn - 1.0 / mu) + nu * inv_mn, 0.0)
-        dls = dmu * p * depth
+        dls = dmu * pe * depth
         dnu = dg_ref[:] + (x + nu) * inv_mn + denom - lnu - 1.0
-        in_range = (sp > NU_LO) & (sp < NU_HI)
-        dnupre = jnp.where(
-            valid & in_range, dnu * jax.nn.sigmoid(nupre), 0.0
-        )
+        if nu_exp:
+            # nu = clamp(exp(npre), 0, NU_HI): lower clamp never binds
+            dnupre = jnp.where(valid & (sp < NU_HI), dnu * sp, 0.0)
+        else:
+            in_range = (sp > NU_LO) & (sp < NU_HI)
+            dnupre = jnp.where(
+                valid & in_range, dnu * jax.nn.sigmoid(nupre), 0.0
+            )
 
         # per-row accumulators
         rs_acc[:] += jnp.sum(dls, axis=1, keepdims=True)
-        dd_acc[:] += jnp.sum(dmu * p, axis=1, keepdims=True)
+        dd_acc[:] += jnp.sum(dmu * pe, axis=1, keepdims=True)
         for r in range(R):
             u1_acc[:, r:r + 1] += jnp.sum(
                 dls * wt[r:r + 1, :], axis=1, keepdims=True
@@ -399,6 +435,10 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool):
         gout_ref[base + Rn:base + Rn + 1, :] = jnp.sum(
             dnupre, axis=0, keepdims=True
         )
+        if has_pb:
+            # d/dpb = colsum(dls): no softmax-coupling subtraction since
+            # pb sits outside the log_softmax
+            gout_ref[pbi:pbi + 1, :] = jnp.sum(dls, axis=0, keepdims=True)
 
         @pl.when(j == nj - 1)
         def _():
@@ -411,14 +451,16 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool):
     return kernel
 
 
-def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B):
+def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
+                  nu_exp=False):
     bp, Dp = x.shape
     td = _TD
     nj = Dp // td
     Tp = W.shape[0]
     R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
     x_is_int = jnp.issubdtype(x.dtype, jnp.integer)
-    kernel = _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int)
+    kernel = _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int,
+                                  has_pb, nu_exp)
     nll, gout, rsum, u1, dzn, dd = pl.pallas_call(
         kernel,
         grid=(nj,),
@@ -536,7 +578,7 @@ def _finish_call(zm, c, lse, rsum, W, *, D):
 # host-side padding / stacking
 # ----------------------------------------------------------------------
 
-def _prep(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
+def _prep(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb=None):
     B, D = x.shape
     bp = _ceil_to(B, 8)
     Dp = _ceil_to(D, _TD)
@@ -546,9 +588,10 @@ def _prep(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
         return jnp.pad(a, ((0, bp - B), (0, 0))) if bp > B else a
 
     xp = jnp.pad(x, ((0, bp - B), (0, Dp - D)))
-    W = jnp.concatenate(
-        [wd, wc, bias2.reshape(1, -1), wn, bias_n.reshape(1, -1)], axis=0
-    )
+    rows = [wd, wc, bias2.reshape(1, -1), wn, bias_n.reshape(1, -1)]
+    if pb is not None:
+        rows.append(pb.reshape(1, -1))
+    W = jnp.concatenate(rows, axis=0)
     T = W.shape[0]
     Tp = _ceil_to(T, 8)
     W = jnp.pad(W, ((0, Tp - T), (0, Dp - D)))
@@ -561,20 +604,22 @@ def _prep(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
 # ----------------------------------------------------------------------
 
 def nb_step_report(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
-                   include_const: bool = True):
+                   include_const: bool = True, pb=None,
+                   nu_exp: bool = False):
     """Reporting-pass NLL (value only).  Not differentiable — the
     reporting forward takes no grad step (reference:
     mmvae_alg.hh:277-285)."""
     if not _use_kernel(x.shape[1]):
         return xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn,
-                            bias_n, include_const)
+                            bias_n, pb, include_const, nu_exp)
     xp, zmp, cp, znp, dpp, W, dims = _prep(
-        x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n
+        x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb
     )
     lse = _lse_call(zmp, cp, W, dims["bp"], dims["Dp"], _TD, dims["D"],
                     dims["R"], dims["C"])
     return _value_call(xp, zmp, cp, znp, dpp, lse, W,
-                       D=dims["D"], B=dims["B"], with_const=include_const)
+                       D=dims["D"], B=dims["B"], with_const=include_const,
+                       has_pb=pb is not None, nu_exp=nu_exp)
 
 
 @jax.custom_vjp
@@ -587,23 +632,31 @@ def nb_step_boot(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
     return nll
 
 
-def _boot_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
+def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
+                   nu_exp: bool):
+    """Shared fused fwd+grad.  Returns (nll, (res, xla_vjp)) where res
+    additionally carries d_pb when ``pb`` is given."""
     if not _use_kernel(x.shape[1]):
+        args = [jnp.asarray(x, jnp.float32), zm, c, zn, depth, wd, wc,
+                bias2, wn, bias_n]
+        if pb is not None:
+            args.append(pb)
         nll, vjp = jax.vjp(
-            lambda *a: xla_step_nll(*a, include_const=False),
-            jnp.asarray(x, jnp.float32), zm, c, zn, depth, wd, wc, bias2,
-            wn, bias_n,
+            lambda *a: xla_step_nll(*a, include_const=False,
+                                    nu_exp=nu_exp),
+            *args,
         )
         return nll, (None, vjp)
 
     xp, zmp, cp, znp, dpp, W, dims = _prep(
-        x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n
+        x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb
     )
     B, D, R, C, Rn = (dims["B"], dims["D"], dims["R"], dims["C"],
                       dims["Rn"])
     lse = _lse_call(zmp, cp, W, dims["bp"], dims["Dp"], _TD, D, R, C)
     nll, gout, rsum, u1, dzn, dd = _valgrad_call(
-        xp, zmp, cp, znp, dpp, lse, W, D=D, B=B
+        xp, zmp, cp, znp, dpp, lse, W, D=D, B=B, has_pb=pb is not None,
+        nu_exp=nu_exp,
     )
     fout, u2 = _finish_call(zmp, cp, lse, rsum, W, D=D)
 
@@ -616,8 +669,15 @@ def _boot_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
     d_wn = gout[R + C + 1:R + C + 1 + Rn, :D]
     d_bias_n = gout[R + C + 1 + Rn, :D]
     d_zm = (u1 - rsum * u2)[:B]
-    res = (d_zm, dzn[:B], dd[:B], d_wd, d_wc, d_bias2, d_wn, d_bias_n)
-    return nll, (res, None)
+    res = [d_zm, dzn[:B], dd[:B], d_wd, d_wc, d_bias2, d_wn, d_bias_n]
+    if pb is not None:
+        res.append(gout[R + C + 2 + Rn, :D])
+    return nll, (tuple(res), None)
+
+
+def _boot_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
+    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                          None, nu_exp=False)
 
 
 def _boot_bwd(saved, g):
@@ -642,3 +702,46 @@ def _boot_bwd(saved, g):
 
 
 nb_step_boot.defvjp(_boot_fwd, _boot_bwd)
+
+
+@jax.custom_vjp
+def nb_step_boot_joint(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb):
+    """Boot-step NLL for the joint/mixture NB half: ``pb`` is the
+    post-softmax log-bias (mu_bias OUTSIDE log_softmax, vmfnb.hh:466)
+    and the overdispersion decode is ``clamp(exp(.), 0, NU_HI)``
+    (vmfnb.hh:488-493).  Differentiable in everything but x and c."""
+    nll, _ = _boot_joint_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn,
+                             bias_n, pb)
+    return nll
+
+
+def _boot_joint_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb):
+    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                          pb, nu_exp=True)
+
+
+def _boot_joint_bwd(saved, g):
+    res, xla_vjp = saved
+    if res is None:
+        (dx, dzm, dc, dzn, ddep, dwd, dwc, db2, dwn, dbn,
+         dpb) = xla_vjp(g)
+        return (None, dzm, None, dzn, ddep, dwd, dwc, db2, dwn, dbn, dpb)
+    (d_zm, d_zn, d_dep, d_wd, d_wc, d_bias2, d_wn, d_bias_n,
+     d_pb) = res
+    g = jnp.asarray(g, jnp.float32)
+    return (
+        None,
+        g * d_zm,
+        None,
+        g * d_zn,
+        g * d_dep,
+        g * d_wd,
+        g * d_wc,
+        g * d_bias2,
+        g * d_wn,
+        g * d_bias_n,
+        g * d_pb,
+    )
+
+
+nb_step_boot_joint.defvjp(_boot_joint_fwd, _boot_joint_bwd)

@@ -209,3 +209,137 @@ def test_boot_grads_across_shapes(B, D, R, C, Rn, lam, maxc):
             err_msg=f"grad mismatch ({name}) at B={B} D={D} R={R} "
                     f"C={C} Rn={Rn}",
         )
+
+
+# ----------------------------------------------------------------------
+# joint-model kernel variant: pb outside log_softmax + exp-nu
+# (reference: vmfnb.hh:462-467, 488-493)
+# ----------------------------------------------------------------------
+
+def _mk_pb(D, seed=2):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray((rng.normal(size=(D,)) * 0.2).astype(np.float32))
+
+
+@pytest.mark.parametrize("fastpath", [True, False])
+def test_joint_report_value_matches_xla(fastpath):
+    from mmvae_tpu.ops.nb_step import nb_step_report
+
+    args = _mk_inputs(max_count=6 if fastpath else 40,
+                      lam=0.8 if fastpath else 9.0, seed=7)
+    pb = _mk_pb(args[0].shape[1])
+    nll = nb_step_report(*args, include_const=True, pb=pb, nu_exp=True)
+    want = xla_step_nll(*args, pb=pb, include_const=True, nu_exp=True)
+    np.testing.assert_allclose(float(nll), float(want), rtol=3e-5)
+
+
+@pytest.mark.parametrize("fastpath", [True, False])
+def test_joint_boot_value_and_grads_match_xla(fastpath):
+    from mmvae_tpu.ops.nb_step import nb_step_boot_joint
+
+    args = _mk_inputs(max_count=6 if fastpath else 40,
+                      lam=0.8 if fastpath else 9.0, seed=13)
+    pb = _mk_pb(args[0].shape[1], seed=5)
+    full = tuple(args) + (pb,)
+    diff_idx = (1, 3, 4, 5, 6, 7, 8, 9, 10)  # + pb
+
+    def loss_v2(*diff_args):
+        a = list(full)
+        for i, v in zip(diff_idx, diff_args):
+            a[i] = v
+        return nb_step_boot_joint(*a)
+
+    def loss_ref(*diff_args):
+        a = list(full)
+        for i, v in zip(diff_idx, diff_args):
+            a[i] = v
+        return xla_step_nll(a[0], a[1], a[2], a[3], a[4], a[5], a[6],
+                            a[7], a[8], a[9], a[10], include_const=False,
+                            nu_exp=True)
+
+    diff_args = tuple(full[i] for i in diff_idx)
+    v2, g2 = jax.value_and_grad(loss_v2, argnums=range(len(diff_idx)))(
+        *diff_args)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=range(len(diff_idx)))(
+        *diff_args)
+    np.testing.assert_allclose(float(v2), float(vr), rtol=3e-5)
+    names = ["zm", "zn", "depth", "wd", "wc", "bias2", "wn", "bias_n", "pb"]
+    for name, a, b in zip(names, g2, gr):
+        scale = max(1e-3, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6 * scale,
+            err_msg=f"joint grad mismatch: {name}",
+        )
+
+
+def test_vmfnb_fused_step_matches_composite():
+    """Model-level: joint fused step vs the XLA composite loss."""
+    from mmvae_tpu.models.vmfnb import VMFNBVAE, vmfnb_composite_loss
+
+    D, B = 900, 11
+    model = VMFNBVAE(data_dim=D, mean_latent=2)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.poisson(0.5, size=(B, D)).astype(np.float32))
+    c = jnp.ones((B, 1), jnp.float32)
+    key = jax.random.PRNGKey(42)
+    beta = jnp.float32(0.37)
+
+    rep = model.fused_step_report(params, x, c, key, beta)
+    out = model.forward(params, x, key, True)
+    want = vmfnb_composite_loss(x, out, beta)
+    np.testing.assert_allclose(float(rep), float(want), rtol=3e-5)
+
+    g2 = jax.grad(lambda p: model.fused_step_boot(p, x, c, key, beta))(
+        params)
+    g1 = jax.grad(lambda p: vmfnb_composite_loss(
+        x, model.forward(p, x, key, True), beta))(params)
+    flat2 = jax.tree_util.tree_leaves_with_path(g2)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    for path, leaf in flat2:
+        ref = flat1[path]
+        scale = max(1e-3, float(jnp.abs(ref).max()))
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref), rtol=1e-3,
+            atol=2e-5 * scale,
+            err_msg=f"vmfnb grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_mixture_fused_step_matches_composite():
+    """Model-level: mixture fused step vs the XLA composite loss."""
+    from mmvae_tpu.models.vmfnb_mixture import (
+        VMFNBMixtureVAE,
+        mixture_composite_loss,
+    )
+
+    D, B, K = 900, 11, 3
+    rng = np.random.default_rng(4)
+    L = (rng.uniform(size=(D, K)) < 0.4).astype(np.float32)
+    L[~(L.sum(axis=1) > 0), 0] = 1.0
+    model = VMFNBMixtureVAE(label=L, mean_latent=2)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.poisson(0.5, size=(B, D)).astype(np.float32))
+    c = jnp.ones((B, 1), jnp.float32)
+    key = jax.random.PRNGKey(9)
+    beta = jnp.float32(0.8)
+
+    rep = model.fused_step_report(params, x, c, key, beta)
+    out = model.forward(params, x, key, True)
+    want = mixture_composite_loss(x, out, beta, model.dd)
+    np.testing.assert_allclose(float(rep), float(want), rtol=3e-5)
+
+    g2 = jax.grad(lambda p: model.fused_step_boot(p, x, c, key, beta))(
+        params)
+    g1 = jax.grad(lambda p: mixture_composite_loss(
+        x, model.forward(p, x, key, True), beta, model.dd))(params)
+    flat2 = jax.tree_util.tree_leaves_with_path(g2)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    for path, leaf in flat2:
+        ref = flat1[path]
+        scale = max(1e-3, float(jnp.abs(ref).max()))
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref), rtol=1e-3,
+            atol=2e-5 * scale,
+            err_msg=f"mixture grad mismatch at {jax.tree_util.keystr(path)}",
+        )
