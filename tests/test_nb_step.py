@@ -343,3 +343,40 @@ def test_mixture_fused_step_matches_composite():
             atol=2e-5 * scale,
             err_msg=f"mixture grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_boot_grads_extreme_counts():
+    """Mixed product/Stirling path: integer counts up to thousands
+    (atlas-depth data) must match XLA values and grads."""
+    args = list(_mk_inputs(seed=17, D=1100, lam=1.0, max_count=6))
+    x = np.asarray(args[0]).copy()
+    rng = np.random.default_rng(3)
+    hot = rng.integers(0, x.shape[1], size=40)
+    x[:, hot] = rng.poisson(800.0, size=(x.shape[0], 40))
+    x[0, hot[0]] = 4000.0
+    args[0] = jnp.asarray(x)
+
+    nll = nb_step_report(*args, include_const=True)
+    want = xla_step_nll(*args, include_const=True)
+    np.testing.assert_allclose(float(nll), float(want), rtol=3e-5)
+
+    def loss_v2(zm, wd, wn):
+        a = list(args)
+        a[1], a[5], a[8] = zm, wd, wn
+        return nb_step_boot(*a)
+
+    def loss_ref(zm, wd, wn):
+        a = list(args)
+        a[1], a[5], a[8] = zm, wd, wn
+        return xla_step_nll(*a, include_const=False)
+
+    sel = (args[1], args[5], args[8])
+    v2, g2 = jax.value_and_grad(loss_v2, argnums=range(3))(*sel)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=range(3))(*sel)
+    np.testing.assert_allclose(float(v2), float(vr), rtol=5e-5)
+    for name, a, b in zip(("zm", "wd", "wn"), g2, gr):
+        scale = max(1e-3, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5 * scale,
+            err_msg=f"extreme-count grad mismatch: {name}",
+        )

@@ -104,3 +104,20 @@ def test_ondevice_recording_matches_host(setup, tmp_path):
     md, ld = run(True, "dev")
     np.testing.assert_allclose(mh, md, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(lh, ld, rtol=1e-5, atol=1e-7)
+
+
+def test_ondevice_ell_mode_matches_dense(setup, monkeypatch):
+    """Force the ELL layout (dense budget 0) and check the trajectory
+    matches both the dense-resident mode and the host path."""
+    data, covar, model = setup
+    p_host, l_host = _train(data, covar, model, ondevice=False)
+    monkeypatch.setenv("MMVAE_DENSE_BYTES", "0")
+    p_ell, l_ell = _train(data, covar, model, ondevice=True)
+    monkeypatch.delenv("MMVAE_DENSE_BYTES")
+    p_dense, l_dense = _train(data, covar, model, ondevice=True)
+    np.testing.assert_allclose(l_host, l_ell, rtol=1e-6)
+    np.testing.assert_allclose(l_ell, l_dense, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ell),
+                    jax.tree_util.tree_leaves(p_dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
