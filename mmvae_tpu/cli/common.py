@@ -79,33 +79,77 @@ def _pick_block_type(opts: MMVaeOptions):
     return MtxDataBlock
 
 
-def prepare_blocks(opts: MMVaeOptions) -> tuple[MtxDataBlock, MtxDataBlock]:
+def multihost_setup(opts: MMVaeOptions, topt: TrainingOptions):
+    """(local_batch | None, kwargs for ``train_vae_model``).
+
+    Multi-host runs (--num_hosts > 1, after ``apply_runtime_config``
+    initialized jax.distributed) read B/num_hosts rows per host and
+    train data-parallel over the global mesh."""
+    if topt.num_hosts <= 1:
+        return None, {}
+    if opts.batch_size % topt.num_hosts:
+        raise ValueError(
+            f"--batch_size {opts.batch_size} not divisible by "
+            f"--num_hosts {topt.num_hosts}"
+        )
+    return (opts.batch_size // topt.num_hosts,
+            dict(host_count=topt.num_hosts, host_id=topt.host_id))
+
+
+def host_role() -> tuple[bool, bool]:
+    """(multihost, is_primary) for the current process."""
+    import jax
+
+    n = jax.process_count()
+    return n > 1, (n <= 1 or jax.process_index() == 0)
+
+
+def prepare_blocks(
+    opts: MMVaeOptions, local_batch: int | None = None
+) -> tuple[MtxDataBlock, MtxDataBlock]:
     """Build indexes as needed and construct the data + covariate blocks
-    (reference: src/nb_vae_main.cc:58-82)."""
-    if not os.path.exists(opts.idx):
+    (reference: src/nb_vae_main.cc:58-82).
+
+    ``local_batch`` overrides the block batch size (multi-host: each
+    host reads B/num_hosts rows of every global batch).  In multi-host
+    runs only process 0 creates sidecar files; the others wait at a
+    barrier and then read them.
+    """
+    B = local_batch if local_batch is not None else opts.batch_size
+    multihost, primary = host_role()
+
+    if primary and not os.path.exists(opts.idx):
         build_mmutil_index(opts.mtx, opts.idx)
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mmvae:index")
 
     block_type = _pick_block_type(opts)
     if block_type is MtxMemoryBlock:
         # narrow integer batch buffers when lossless: the (B, D) batch
         # transfer dominates host->device time at large D
-        data_block = block_type(opts.mtx, opts.idx, opts.batch_size,
-                                count_dtype="auto")
+        data_block = block_type(opts.mtx, opts.idx, B, count_dtype="auto")
     else:
-        data_block = block_type(opts.mtx, opts.idx, opts.batch_size)
+        data_block = block_type(opts.mtx, opts.idx, B)
 
     covar_mtx = opts.covar_mtx
     covar_idx = opts.covar_idx
     if not covar_mtx or not os.path.exists(covar_mtx):
         covar_mtx = opts.out + ".covar.mtx.gz"
         covar_idx = covar_mtx + ".index"
-        create_ones_like(data_block, covar_mtx)
-        TLOG("No covariate file is given. So we use this:", covar_mtx)
-        if os.path.exists(covar_idx):
-            os.remove(covar_idx)
+        if primary:
+            create_ones_like(data_block, covar_mtx)
+            TLOG("No covariate file is given. So we use this:", covar_mtx)
+            if os.path.exists(covar_idx):
+                os.remove(covar_idx)
+            build_mmutil_index(covar_mtx, covar_idx)
+    elif primary and not os.path.exists(covar_idx):
         build_mmutil_index(covar_mtx, covar_idx)
-    elif not os.path.exists(covar_idx):
-        build_mmutil_index(covar_mtx, covar_idx)
+    if multihost:
+        from jax.experimental import multihost_utils
 
-    covar_block = block_type(covar_mtx, covar_idx, opts.batch_size)
+        multihost_utils.sync_global_devices("mmvae:covar")
+
+    covar_block = block_type(covar_mtx, covar_idx, B)
     return data_block, covar_block

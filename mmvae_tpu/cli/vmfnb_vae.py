@@ -24,7 +24,13 @@ from ..train.loop import make_optimizer, train_vae_model
 from ..train.recorder import LatentRecorder
 from ..io.writers import write_vector_file
 from ..utils.logging import TLOG
-from .common import add_relu_flags, compose_parsers, prepare_blocks
+from .common import (
+    add_relu_flags,
+    compose_parsers,
+    host_role,
+    multihost_setup,
+    prepare_blocks,
+)
 
 _MODEL_DESC = "Joint von Mises-Fisher + Negative Binomial VAE"
 
@@ -57,7 +63,8 @@ def main(argv=None) -> int:
     topt = TrainingOptions.from_args(ns)
     topt.apply_runtime_config()
 
-    data_block, covar_block = prepare_blocks(opts)
+    local_b, host_kw = multihost_setup(opts, topt)
+    data_block, covar_block = prepare_blocks(opts, local_batch=local_b)
     D = data_block.nfeature()
 
     mixture = bool(opts.annot)
@@ -146,13 +153,15 @@ def main(argv=None) -> int:
         )
         TLOG(f"Resumed from {topt.resume} at epoch {start_epoch}")
 
+    _, _primary = host_role()
+
     def on_epoch_end(epoch, p, o, losses):
-        if topt.checkpoint_dir:
+        if topt.checkpoint_dir and _primary:
             save_checkpoint(topt.checkpoint_dir, p, o, epoch, topt.seed,
                             prev_losses + losses)
 
     mesh = None
-    if topt.data_parallel or topt.dp_shard:
+    if topt.data_parallel or topt.dp_shard or host_kw:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
@@ -181,12 +190,14 @@ def main(argv=None) -> int:
         start_epoch=start_epoch,
         init_opt_state=init_opt_state,
         on_epoch_end=on_epoch_end,
-        metrics_path=opts.out + ".metrics.jsonl",
+        metrics_path=(opts.out + ".metrics.jsonl") if _primary else None,
         ondevice=topt.ondevice,
         **fused_kw,
+        **host_kw,
     )
 
-    write_vector_file(opts.out + ".scores.gz", prev_losses + scores)
+    if _primary:
+        write_vector_file(opts.out + ".scores.gz", prev_losses + scores)
     TLOG("Done")
     return 0
 

@@ -113,6 +113,14 @@ class TrainingOptions:
     auto_ondevice: bool = True   # flip ondevice on automatically when the
                                  # padded-ELL data fits a safe HBM budget
     debug_nans: bool = False     # jax_debug_nans (SURVEY §5.2 analog)
+    # Multi-host (SURVEY §5.8): one process per host, a global device
+    # mesh, per-host sharded BGZF input (each host seeks its own column
+    # ranges via the index — mmutil_index.hh:192-228 is what makes this
+    # embarrassingly shardable).  Flags default from the MMVAE_COORDINATOR
+    # / MMVAE_NUM_HOSTS / MMVAE_HOST_ID environment.
+    coordinator: str = ""        # host:port of process 0
+    num_hosts: int = 1
+    host_id: int = 0
 
     @staticmethod
     def add_args(p: argparse.ArgumentParser) -> None:
@@ -141,6 +149,12 @@ class TrainingOptions:
         p.add_argument("--no_auto_ondevice", dest="auto_ondevice",
                        action="store_false", default=True)
         p.add_argument("--debug_nans", action="store_true")
+        p.add_argument("--coordinator", type=str,
+                       default=os.environ.get("MMVAE_COORDINATOR", ""))
+        p.add_argument("--num_hosts", type=int,
+                       default=int(os.environ.get("MMVAE_NUM_HOSTS", "1")))
+        p.add_argument("--host_id", type=int,
+                       default=int(os.environ.get("MMVAE_HOST_ID", "0")))
 
     @classmethod
     def from_args(cls, ns: argparse.Namespace) -> "TrainingOptions":
@@ -155,10 +169,18 @@ class TrainingOptions:
             ondevice=ns.ondevice,
             auto_ondevice=getattr(ns, "auto_ondevice", True),
             debug_nans=ns.debug_nans,
+            coordinator=getattr(ns, "coordinator", ""),
+            num_hosts=getattr(ns, "num_hosts", 1),
+            host_id=getattr(ns, "host_id", 0),
         )
 
     def apply_runtime_config(self) -> None:
-        """Apply process-level debugging knobs (call once in CLI mains)."""
+        """Apply process-level knobs (call once in CLI mains, before any
+        JAX backend use — multi-host init must precede device creation)."""
+        if self.num_hosts > 1:
+            from ..parallel.multihost import init_multihost
+
+            init_multihost(self.coordinator, self.num_hosts, self.host_id)
         if self.debug_nans:
             import jax
 

@@ -322,8 +322,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def _put(self, arr: np.ndarray):
         """Device-put a (S, B, D) superbatch, sharded over the mesh's
-        batch axis when data parallelism is on."""
+        batch axis when data parallelism is on.  In multi-host runs the
+        argument is this host's (S, B/H, D) slice and the global array
+        is assembled across processes (sharded input, SURVEY §5.8)."""
         if self._x_sharding is not None:
+            if jax.process_count() > 1:
+                return jax.make_array_from_process_local_data(
+                    self._x_sharding, arr
+                )
             return jax.device_put(arr, self._x_sharding)
         return jnp.asarray(arr)
 
@@ -360,6 +366,8 @@ def train_vae_model(
     dp_shard_map: bool = False,
     metrics_path: str | None = None,
     ondevice: bool = False,
+    host_count: int = 1,
+    host_id: int = 0,
 ) -> tuple[dict, list[float]]:
     """The high-level training loop (reference: mmvae_alg.hh:200-338).
 
@@ -379,9 +387,24 @@ def train_vae_model(
     B = data_block.size()
     assert B == covar_block.size(), "data and covar on the same batch size"
 
-    batches = sequential_batches(ntot, B)
+    if host_count > 1:
+        # Multi-host sharded input (SURVEY §5.8): the blocks hold this
+        # host's B/H rows of every GLOBAL batch; the schedule is the
+        # global one, sliced per host (each slice is a contiguous column
+        # range, so reads coalesce into one BGZF seek).
+        from ..parallel.multihost import host_slice
+
+        assert mesh is not None, "multi-host training needs a device mesh"
+        B_global = B * host_count
+        global_batches = sequential_batches(ntot, B_global)
+        batches = [host_slice(gb, host_id, host_count)
+                   for gb in global_batches]
+        ondevice = False  # on-device epochs are single-host for now
+    else:
+        batches = sequential_batches(ntot, B)
     nbatch = len(batches)
-    TLOG(f"Batch size = {B}, Number of batches = {nbatch}")
+    TLOG(f"Batch size = {B}{' x %d hosts' % host_count if host_count > 1 else ''}, "
+         f"Number of batches = {nbatch}")
 
     trainer = Trainer(forward, loss_fn, opt, kl, mesh=mesh,
                       boot_loss_fn=boot_loss_fn,

@@ -86,6 +86,11 @@ class LatentRecorder:
         self.mean_out = np.zeros((ntot, 0), np.float32)
         self.lnvar_out = np.zeros((ntot, 0), np.float32)
         self.extra_out = np.zeros((ntot, 0), np.float32)
+        # per-row last-write counter: lets multi-host merges reproduce
+        # the single-host "last batch wins" semantics for wrap-around
+        # duplicates (mmvae_alg.hh:261-266)
+        self._stamp = np.full(ntot, -1, np.int64)
+        self._calls = 0
 
     def _ensure(self, attr: str, cols: int) -> np.ndarray:
         mat = getattr(self, attr)
@@ -108,6 +113,8 @@ class LatentRecorder:
             extra = np.asarray(self.extra_fn(params, x))
             extra_out = self._ensure("extra_out", extra.shape[1])
             extra_out[batch[ok]] = extra[ok]
+        self._stamp[batch[ok]] = self._calls
+        self._calls += 1
 
     def ingest(self, batches, enc, extra=None) -> None:
         """Consume a whole epoch of on-device-collected posteriors.
@@ -132,12 +139,38 @@ class LatentRecorder:
             if extra_all is not None:
                 extra_out[batch[ok]] = extra_all[b][ok]
 
+    def _merged(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Cross-host merge of the posterior matrices.
+
+        Each host holds the rows its input shard visited; for rows
+        visited by several hosts (wrap-around duplicates) the one with
+        the highest write counter wins — identical to the single-host
+        last-batch-wins order."""
+        if jax.process_count() <= 1:
+            return self.mean_out, self.lnvar_out, self.extra_out
+        from jax.experimental import multihost_utils as mhu
+
+        stamps = np.asarray(mhu.process_allgather(self._stamp))   # (H, N)
+        winner = stamps.argmax(axis=0)                            # (N,)
+        rows = np.arange(self.ntot)
+
+        def pick(local):
+            if local.shape[1] == 0:
+                return local
+            alls = np.asarray(mhu.process_allgather(local))       # (H, N, L)
+            return alls[winner, rows]
+
+        return pick(self.mean_out), pick(self.lnvar_out), pick(self.extra_out)
+
     def update_on_epoch(self, params, epoch: int) -> None:
+        mean_out, lnvar_out, extra_out = self._merged()
+        if jax.process_index() != 0:
+            return  # artifacts are written once, by the primary host
         tag = f"{self.header}_{zeropad(epoch, self.max_epoch)}"
-        write_data_file(f"{tag}.{self.mean_name}.gz", self.mean_out)
-        write_data_file(f"{tag}.{self.lnvar_name}.gz", self.lnvar_out)
+        write_data_file(f"{tag}.{self.mean_name}.gz", mean_out)
+        write_data_file(f"{tag}.{self.lnvar_name}.gz", lnvar_out)
         if self.extra_fn is not None:
-            write_data_file(f"{tag}.{self.extra_name}.gz", self.extra_out)
+            write_data_file(f"{tag}.{self.extra_name}.gz", extra_out)
         if self.write_params:
             for key, arr in flatten_params(params).items():
                 write_data_file(f"{tag}_{key}.gz", arr)
