@@ -106,7 +106,24 @@ def main(argv=None) -> int:
                             prev_losses + losses)
 
     mesh = None
-    if topt.data_parallel or topt.dp_shard or host_kw:
+    tp_kw = {}
+    tp = max(1, topt.tensor_parallel)
+    if tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        D = data_block.nfeature()
+        if D % tp:
+            raise ValueError(
+                f"--tensor_parallel {tp} must divide the feature dim {D}"
+            )
+        if not (topt.fused and topt.fused_step and model._can_fuse_step()):
+            raise ValueError(
+                "--tensor_parallel needs the fused step path "
+                "(direct mu decoder, --fused_step)"
+            )
+        mesh = make_mesh(model_parallel=tp)
+        tp_kw = dict(tp_shard_map=True, data_dim=D)
+    elif topt.data_parallel or topt.dp_shard or host_kw:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
@@ -118,7 +135,17 @@ def main(argv=None) -> int:
     # kernels (ops/nb_step.py: in-kernel logits, fused value+grad)
     # require a direct mu decoder; otherwise v1 is used automatically.
     fused_kw = {}
-    if topt.fused and topt.fused_step and model._can_fuse_step():
+    if tp_kw:
+        # TP-aware fused step: D-sharded kernels with psum'd normalizers
+        fused_kw = dict(
+            report_loss_override=lambda p, x, c, k, b: (
+                model.fused_step_report_tp(p, x, c, k, b)
+            ),
+            boot_loss_override=lambda p, x, c, k, b: (
+                model.fused_step_boot_tp(p, x, c, k, b)
+            ),
+        )
+    elif topt.fused and topt.fused_step and model._can_fuse_step():
         fused_kw = dict(
             report_loss_override=lambda p, x, c, k, b: (
                 model.fused_step_report(p, x, c, k, b,
@@ -156,6 +183,7 @@ def main(argv=None) -> int:
         metrics_path=(opts.out + ".metrics.jsonl") if _primary else None,
         ondevice=topt.ondevice,
         **host_kw,
+        **tp_kw,
     )
 
     if _primary:

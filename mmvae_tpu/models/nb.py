@@ -296,3 +296,104 @@ class NBVAE:
         )
         n = x.shape[0]
         return (nll + beta * pre["kl"]) / n
+
+    # ------------------------------------------------------------------
+    # Tensor-parallel fused step (SURVEY §5.7): runs inside a shard_map
+    # over ('data', 'model') where every D-sized parameter axis and x's
+    # column axis are 'model' shards.  Encoder first layers decompose as
+    # partial matmuls + psum; the step kernels run on local D slices
+    # with their normalizer/row reductions psum'd (ops/nb_step.py).
+    # ------------------------------------------------------------------
+    def _tp_first_linear(self, p, xn, model_axis):
+        """D-sharded Linear: local partial product, psum, replicated
+        bias added once.  Identity-gradient psum: under
+        check_vma=False the default transpose would double the
+        gradient (see parallel/collectives.py)."""
+        from ..parallel.collectives import psum_id_grad
+
+        return psum_id_grad(xn @ p["weight"], model_axis) + p["bias"]
+
+    def tp_encode_mu(self, params, x, c, model_axis):
+        """encode_mu with the D->H first layer decomposed over shards;
+        semantics identical to :meth:`encode_mu`."""
+        xn = self._standardize(params, x)  # elementwise on local shards
+        names = self._enc_names()
+        h = self._tp_first_linear(params[names[0]], xn, model_axis)
+        if self.do_relu:
+            h = jax.nn.relu(h)  # encoder stacks ReLU every layer
+        for name in names[1:]:
+            h = linear_apply(params[name], h)
+            if self.do_relu:
+                h = jax.nn.relu(h)
+        lnvar = jnp.clip(
+            linear_apply(params["mu_representation_logvariance"], h),
+            -4.0, 4.0,
+        )
+        mean = linear_apply(params["mu_representation_mean"], h)
+        if c is not None:
+            mean = mean + linear_apply(params["covar_encoding"], c)
+        return mean, lnvar
+
+    def tp_encode_nu(self, params, x, model_axis):
+        h = self._tp_first_linear(params["nu_encoding"], x, model_axis)
+        lnvar = jnp.clip(
+            linear_apply(params["nu_representation_logvariance"], h),
+            -4.0, 4.0,
+        )
+        return linear_apply(params["nu_representation_mean"], h), lnvar
+
+    def _tp_step_prelude(self, params, x, c, key, model_axis,
+                         training=True):
+        from ..ops.losses import gaussian_kl
+
+        k_mu, k_nu = jax.random.split(key)
+        mu_mean, mu_lnvar = self.tp_encode_mu(params, x, c, model_axis)
+        z_mu = reparameterize(k_mu, mu_mean, mu_lnvar, training)
+        nu_mean, nu_lnvar = self.tp_encode_nu(params, x, model_axis)
+        z_nu = reparameterize(k_nu, nu_mean, nu_lnvar, training)
+        depth = jax.nn.softplus(
+            self._tp_first_linear(params["depth"], x, model_axis)
+        )
+        dec = params["mu_decoding"]
+        cov = params["covar_decoding"]
+        nud = params["nu_decoding"]
+        kl = gaussian_kl(mu_mean, mu_lnvar) + gaussian_kl(nu_mean, nu_lnvar)
+        return dict(
+            z_mu=z_mu,
+            z_nu=z_nu,
+            depth=depth,
+            wd=dec["weight"],
+            wc=cov["weight"],
+            bias2=dec["bias"] + cov["bias"] + params["mu_bias"][0],
+            wn=nud["weight"],
+            bias_n=nud["bias"] - params["nu_bias"][0],
+            kl=kl,
+        )
+
+    def fused_step_report_tp(self, params, x, c, key, beta,
+                             model_axis="model",
+                             include_data_const: bool = True):
+        from ..ops.nb_step import nb_step_report
+
+        assert self._can_fuse_step(), "TP fused step needs a direct decoder"
+        pre = self._tp_step_prelude(params, x, c, key, model_axis)
+        nll = nb_step_report(
+            x, pre["z_mu"], c, pre["z_nu"], pre["depth"],
+            pre["wd"], pre["wc"], pre["bias2"], pre["wn"], pre["bias_n"],
+            include_const=include_data_const, model_axis=model_axis,
+        )
+        n = x.shape[0]
+        return (nll + beta * pre["kl"]) / n
+
+    def fused_step_boot_tp(self, params, x, c, key, beta,
+                           model_axis="model"):
+        from ..ops.nb_step import nb_step_boot_tp
+
+        assert self._can_fuse_step(), "TP fused step needs a direct decoder"
+        pre = self._tp_step_prelude(params, x, c, key, model_axis)
+        nll = nb_step_boot_tp(
+            model_axis, x, pre["z_mu"], c, pre["z_nu"], pre["depth"],
+            pre["wd"], pre["wc"], pre["bias2"], pre["wn"], pre["bias_n"],
+        )
+        n = x.shape[0]
+        return (nll + beta * pre["kl"]) / n

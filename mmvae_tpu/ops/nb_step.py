@@ -76,16 +76,32 @@ def _ceil_to(n: int, m: int) -> int:
 # ----------------------------------------------------------------------
 
 def xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb=None,
-                 include_const: bool = False, nu_exp: bool = False):
+                 include_const: bool = False, nu_exp: bool = False,
+                 model_axis: str | None = None):
     """Plain-XLA spec of the fused step NLL (differentiable).
 
     ``pb`` is an optional (D,) log-bias applied AFTER log_softmax (the
     joint model's mu_bias placement, vmfnb.hh:466); ``nu_exp`` switches
     the overdispersion decode from softplus-clip (nb.hh:453-460) to
-    ``clamp(exp(.), 0, NU_HI)`` (vmfnb.hh:488-493)."""
+    ``clamp(exp(.), 0, NU_HI)`` (vmfnb.hh:488-493).  With ``model_axis``
+    the D axis of every operand is a shard of a mesh axis: the softmax
+    normalizer and the scalar NLL are combined with psum/pmax
+    collectives (TP; SURVEY §5.7)."""
     x = jnp.asarray(x, jnp.float32)
     h = zm @ wd + c @ wc + bias2
-    ls = jax.nn.log_softmax(h, axis=1)
+    if model_axis is not None:
+        from ..parallel.collectives import psum_id_grad
+
+        m = jax.lax.pmax(
+            jax.lax.stop_gradient(jnp.max(h, axis=1, keepdims=True)),
+            model_axis,
+        )
+        s = psum_id_grad(
+            jnp.sum(jnp.exp(h - m), axis=1, keepdims=True), model_axis
+        )
+        ls = h - (m + jnp.log(s))
+    else:
+        ls = jax.nn.log_softmax(h, axis=1)
     if pb is not None:
         ls = ls + pb
     mu = jnp.exp(ls) * depth + EPS
@@ -103,7 +119,12 @@ def xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb=None,
     )
     if include_const:
         terms = terms + jax.lax.lgamma(x + 1.0)
-    return jnp.sum(terms)
+    nll = jnp.sum(terms)
+    if model_axis is not None:
+        from ..parallel.collectives import psum_id_grad
+
+        nll = psum_id_grad(nll, model_axis)
+    return nll
 
 
 # ----------------------------------------------------------------------
@@ -671,23 +692,37 @@ def _prep(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb=None):
 # public ops
 # ----------------------------------------------------------------------
 
+def _combine_lse(lse_local, model_axis):
+    """Merge per-shard logsumexps over the model axis:
+    lse = logsumexp_k(lse_k) for D-sharded logits."""
+    m = jax.lax.pmax(lse_local, model_axis)
+    s = jax.lax.psum(jnp.exp(lse_local - m), model_axis)
+    return m + jnp.log(s)
+
+
 def nb_step_report(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
                    include_const: bool = True, pb=None,
-                   nu_exp: bool = False):
+                   nu_exp: bool = False, model_axis: str | None = None):
     """Reporting-pass NLL (value only).  Not differentiable — the
     reporting forward takes no grad step (reference:
-    mmvae_alg.hh:277-285)."""
+    mmvae_alg.hh:277-285).  With ``model_axis`` the D-sized operands are
+    shards and the normalizer/NLL combine over the mesh axis (TP)."""
     if not _use_kernel(x.shape[1]):
         return xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn,
-                            bias_n, pb, include_const, nu_exp)
+                            bias_n, pb, include_const, nu_exp, model_axis)
     xp, zmp, cp, znp, dpp, W, dims = _prep(
         x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb
     )
     lse = _lse_call(zmp, cp, W, dims["bp"], dims["Dp"], _TD, dims["D"],
                     dims["R"], dims["C"])
-    return _value_call(xp, zmp, cp, znp, dpp, lse, W,
-                       D=dims["D"], B=dims["B"], with_const=include_const,
-                       has_pb=pb is not None, nu_exp=nu_exp)
+    if model_axis is not None:
+        lse = _combine_lse(lse, model_axis)
+    nll = _value_call(xp, zmp, cp, znp, dpp, lse, W,
+                      D=dims["D"], B=dims["B"], with_const=include_const,
+                      has_pb=pb is not None, nu_exp=nu_exp)
+    if model_axis is not None:
+        nll = jax.lax.psum(nll, model_axis)
+    return nll
 
 
 @jax.custom_vjp
@@ -701,9 +736,16 @@ def nb_step_boot(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
 
 
 def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
-                   nu_exp: bool):
+                   nu_exp: bool, model_axis: str | None = None):
     """Shared fused fwd+grad.  Returns (nll, (res, xla_vjp)) where res
-    additionally carries d_pb when ``pb`` is given."""
+    additionally carries d_pb when ``pb`` is given.
+
+    With ``model_axis`` (TP): D-sized operands are shards; the softmax
+    normalizer, the scalar NLL, and every per-ROW reduction (rsum, u1,
+    u2, dzn, ddepth — reductions over D) are psum-combined over the
+    axis, while per-COLUMN weight gradients stay shard-local — the
+    TPU-native layout for a feature-sharded decoder (SURVEY §5.7,
+    nb.hh:433-442 at atlas-scale D)."""
     if not _use_kernel(x.shape[1]):
         args = [jnp.asarray(x, jnp.float32), zm, c, zn, depth, wd, wc,
                 bias2, wn, bias_n]
@@ -711,7 +753,7 @@ def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
             args.append(pb)
         nll, vjp = jax.vjp(
             lambda *a: xla_step_nll(*a, include_const=False,
-                                    nu_exp=nu_exp),
+                                    nu_exp=nu_exp, model_axis=model_axis),
             *args,
         )
         return nll, (None, vjp)
@@ -722,11 +764,21 @@ def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
     B, D, R, C, Rn = (dims["B"], dims["D"], dims["R"], dims["C"],
                       dims["Rn"])
     lse = _lse_call(zmp, cp, W, dims["bp"], dims["Dp"], _TD, D, R, C)
+    if model_axis is not None:
+        lse = _combine_lse(lse, model_axis)
     nll, gout, rsum, u1, dzn, dd = _valgrad_call(
         xp, zmp, cp, znp, dpp, lse, W, D=D, B=B, has_pb=pb is not None,
         nu_exp=nu_exp,
     )
+    if model_axis is not None:
+        nll = jax.lax.psum(nll, model_axis)
+        rsum = jax.lax.psum(rsum, model_axis)  # global before the finisher
+        u1 = jax.lax.psum(u1, model_axis)
+        dzn = jax.lax.psum(dzn, model_axis)
+        dd = jax.lax.psum(dd, model_axis)
     fout, u2 = _finish_call(zmp, cp, lse, rsum, W, D=D)
+    if model_axis is not None:
+        u2 = jax.lax.psum(u2, model_axis)
 
     # dh = dls - p * rowsum(dls): gout holds the dls contractions, fout
     # the p*rowsum ones; rows are stacked [wd | wc | bias2 | ...]
@@ -813,3 +865,30 @@ def _boot_joint_bwd(saved, g):
 
 
 nb_step_boot_joint.defvjp(_boot_joint_fwd, _boot_joint_bwd)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def nb_step_boot_tp(model_axis, x, zm, c, zn, depth, wd, wc, bias2, wn,
+                    bias_n):
+    """TP variant of :func:`nb_step_boot`: runs inside a ``shard_map``
+    whose ``model_axis`` shards the feature dimension D.  Weight
+    gradients stay shard-local; row reductions psum over the axis."""
+    nll, _ = _boot_tp_fwd(model_axis, x, zm, c, zn, depth, wd, wc, bias2,
+                          wn, bias_n)
+    return nll
+
+
+def _boot_tp_fwd(model_axis, x, zm, c, zn, depth, wd, wc, bias2, wn,
+                 bias_n):
+    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                          None, nu_exp=False, model_axis=model_axis)
+
+
+def _boot_tp_bwd(model_axis, saved, g):
+    return _boot_bwd(saved, g)
+
+
+nb_step_boot_tp.defvjp(_boot_tp_fwd, _boot_tp_bwd)

@@ -45,6 +45,24 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tree_pspecs(tree, data_dim: int):
+    """PartitionSpec pytree for shard_map in/out_specs: shard every
+    axis of size ``data_dim`` (the feature axis D) over 'model',
+    replicate everything else.  Applies uniformly to parameter trees
+    and to optimizer states (whose moment leaves mirror the params)."""
+
+    def spec_for(arr):
+        shape = np.shape(arr)
+        spec = [None] * len(shape)
+        for i, s in enumerate(shape):
+            if s == data_dim and data_dim > 1:
+                spec[i] = "model"
+                break  # shard at most one axis
+        return P(*spec)
+
+    return jax.tree_util.tree_map(spec_for, tree)
+
+
 def param_sharding(mesh: Mesh, params: dict, data_dim: int) -> dict:
     """Tensor-parallel layout: shard every parameter axis of size
     ``data_dim`` (the feature axis D) over 'model'; replicate the rest.

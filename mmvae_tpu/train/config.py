@@ -121,6 +121,10 @@ class TrainingOptions:
     coordinator: str = ""        # host:port of process 0
     num_hosts: int = 1
     host_id: int = 0
+    # Kernel-aware tensor parallelism (SURVEY §5.7): shard the feature
+    # dimension D over a 'model' mesh axis of this size; the fused step
+    # kernels run on local D slices with psum'd normalizers.
+    tensor_parallel: int = 1
 
     @staticmethod
     def add_args(p: argparse.ArgumentParser) -> None:
@@ -155,6 +159,8 @@ class TrainingOptions:
                        default=int(os.environ.get("MMVAE_NUM_HOSTS", "1")))
         p.add_argument("--host_id", type=int,
                        default=int(os.environ.get("MMVAE_HOST_ID", "0")))
+        p.add_argument("--tensor_parallel", "--tp", dest="tensor_parallel",
+                       type=int, default=1)
 
     @classmethod
     def from_args(cls, ns: argparse.Namespace) -> "TrainingOptions":
@@ -172,6 +178,7 @@ class TrainingOptions:
             coordinator=getattr(ns, "coordinator", ""),
             num_hosts=getattr(ns, "num_hosts", 1),
             host_id=getattr(ns, "host_id", 0),
+            tensor_parallel=getattr(ns, "tensor_parallel", 1),
         )
 
     def apply_runtime_config(self) -> None:

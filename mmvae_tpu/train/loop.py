@@ -95,6 +95,8 @@ class Trainer:
         report_loss_override: Callable | None = None,
         boot_loss_override: Callable | None = None,
         dp_shard_map: bool = False,
+        tp_shard_map: bool = False,
+        data_dim: int | None = None,
     ):
         self.forward = forward
         self.loss_fn = loss_fn
@@ -109,15 +111,44 @@ class Trainer:
         self._boot_override = boot_loss_override
         self.opt = opt
         self.kl_max, self.kl_min, self.kl_discount = kl
-        self.optimizer = make_optimizer(opt)
         self.mesh = mesh
         self.dp_shard_map = dp_shard_map and mesh is not None
+        # TP mode: the whole step runs under shard_map over
+        # ('data', 'model') with D-sized param axes and x's column axis
+        # sharded over 'model' (kernel-aware TP, SURVEY §5.7).  The
+        # loss overrides must be TP-aware (model.fused_step_*_tp).
+        self.tp_shard_map = tp_shard_map and mesh is not None
+        self._tp_data_dim = data_dim
+        self._tp_clip = None
+        if self.tp_shard_map:
+            # global-norm clipping needs a cross-shard norm; strip the
+            # local clip from the chain and apply a TP-aware one in
+            # boot_body (same torch order: clip raw grads, then +wd)
+            self.optimizer = optax.chain(
+                optax.add_decayed_weights(opt.weight_decay),
+                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                optax.scale(-opt.lr),
+            )
+        else:
+            self.optimizer = make_optimizer(opt)
         self._x_sharding = None
+        self._c_sharding = None
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from ..parallel.mesh import batch_sharding
 
-            self._x_sharding = batch_sharding(mesh)
-        if self.dp_shard_map:
+            if self.tp_shard_map:
+                self._x_sharding = NamedSharding(
+                    mesh, P(None, "data", "model")
+                )
+                self._c_sharding = NamedSharding(mesh, P(None, "data", None))
+            else:
+                self._x_sharding = batch_sharding(mesh)
+                self._c_sharding = self._x_sharding
+        if self.tp_shard_map:
+            self._step = None  # built lazily: specs need the pytrees
+        elif self.dp_shard_map:
             from jax.sharding import PartitionSpec as P
 
             import functools
@@ -135,6 +166,60 @@ class Trainer:
             self._step = jax.jit(self._superbatch_step,
                                  donate_argnums=(0, 1))
         self._base_key = jax.random.PRNGKey(opt.seed)
+
+    def _build_tp_step(self, params, opt_state):
+        """shard_map step over ('data', 'model') with per-leaf specs."""
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import tree_pspecs
+
+        assert self._tp_data_dim is not None, "tp_shard_map needs data_dim"
+        p_specs = tree_pspecs(params, self._tp_data_dim)
+        o_specs = tree_pspecs(opt_state, self._tp_data_dim)
+        self._tp_clip = self._make_tp_clip(p_specs, "model",
+                                           self.opt.grad_clip)
+        step = jax.shard_map(
+            functools.partial(self._superbatch_step, axis_name="data"),
+            mesh=self.mesh,
+            in_specs=(p_specs, o_specs, P(None, "data", "model"),
+                      P(None, "data"), P(), P(), P()),
+            out_specs=(p_specs, o_specs, P()),
+            check_vma=False,
+        )
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    @staticmethod
+    def _make_tp_clip(p_specs, model_axis, max_norm):
+        from jax.sharding import PartitionSpec
+
+        spec_leaves = jax.tree_util.tree_leaves(
+            p_specs,
+            is_leaf=lambda s: s is None or isinstance(s, PartitionSpec),
+        )
+
+        def sharded(spec):
+            return spec is not None and any(a is not None for a in spec)
+
+        def clip(grads):
+            g_leaves = jax.tree_util.tree_leaves(grads)
+            sq_sh = sum(
+                (jnp.sum(jnp.square(g))
+                 for g, s in zip(g_leaves, spec_leaves) if sharded(s)),
+                start=jnp.float32(0.0),
+            )
+            sq_rp = sum(
+                (jnp.sum(jnp.square(g))
+                 for g, s in zip(g_leaves, spec_leaves) if not sharded(s)),
+                start=jnp.float32(0.0),
+            )
+            total = jax.lax.psum(sq_sh, model_axis) + sq_rp
+            gnorm = jnp.sqrt(total)
+            scale = max_norm / jnp.maximum(gnorm, max_norm)
+            return jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+        return clip
 
     # ------------------------------------------------------------------
     def _batch_step(self, params, opt_state, x, c, epoch_f, key,
@@ -182,6 +267,10 @@ class Trainer:
                 # each shard's loss is a mean over its local rows, so
                 # the global-batch gradient is the shard mean
                 grads = jax.lax.pmean(grads, axis_name)
+            if self._tp_clip is not None:
+                # TP: clip against the CROSS-SHARD global norm (the
+                # local chain has no clip in this mode)
+                grads = self._tp_clip(grads)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state
@@ -320,27 +409,32 @@ class Trainer:
         return run
 
     # ------------------------------------------------------------------
-    def _put(self, arr: np.ndarray):
+    def _put(self, arr: np.ndarray, covar: bool = False):
         """Device-put a (S, B, D) superbatch, sharded over the mesh's
-        batch axis when data parallelism is on.  In multi-host runs the
-        argument is this host's (S, B/H, D) slice and the global array
-        is assembled across processes (sharded input, SURVEY §5.8)."""
-        if self._x_sharding is not None:
+        batch axis when data parallelism is on (TP additionally shards
+        x's feature axis; covariates stay feature-replicated).  In
+        multi-host runs the argument is this host's (S, B/H, D) slice
+        and the global array is assembled across processes (sharded
+        input, SURVEY §5.8)."""
+        sharding = self._c_sharding if covar else self._x_sharding
+        if sharding is not None:
             if jax.process_count() > 1:
                 return jax.make_array_from_process_local_data(
-                    self._x_sharding, arr
+                    sharding, arr
                 )
-            return jax.device_put(arr, self._x_sharding)
+            return jax.device_put(arr, sharding)
         return jnp.asarray(arr)
 
     def step(self, params, opt_state, x_sb, c_sb, epoch, batch_ids):
         """Run one superbatch of sequential batches; returns
         (params, opt_state, per-batch reported losses)."""
+        if self._step is None:  # TP mode builds specs from the pytrees
+            self._build_tp_step(params, opt_state)
         return self._step(
             params,
             opt_state,
             self._put(x_sb),
-            self._put(c_sb),
+            self._put(c_sb, covar=True),
             jnp.float32(epoch),
             jnp.asarray(batch_ids, jnp.int32),
             self._base_key,
@@ -364,6 +458,8 @@ def train_vae_model(
     report_loss_override: Callable | None = None,
     boot_loss_override: Callable | None = None,
     dp_shard_map: bool = False,
+    tp_shard_map: bool = False,
+    data_dim: int | None = None,
     metrics_path: str | None = None,
     ondevice: bool = False,
     host_count: int = 1,
@@ -410,7 +506,9 @@ def train_vae_model(
                       boot_loss_fn=boot_loss_fn,
                       report_loss_override=report_loss_override,
                       boot_loss_override=boot_loss_override,
-                      dp_shard_map=dp_shard_map)
+                      dp_shard_map=dp_shard_map,
+                      tp_shard_map=tp_shard_map,
+                      data_dim=data_dim)
     params = init_params
     opt_state = (
         init_opt_state

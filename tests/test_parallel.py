@@ -210,3 +210,72 @@ def test_dp_shard_map_with_fused_overrides():
     assert rep.shape == (S,) and np.all(np.isfinite(rep))
     leaf = np.asarray(jax.tree_util.tree_leaves(params)[0])
     assert np.all(np.isfinite(leaf))
+
+
+def test_tp_shard_map_fused_matches_dp():
+    """Kernel-aware TP: the fused step under shard_map over
+    ('data','model') — D-sharded params/x, psum'd normalizer and row
+    reductions, shard-local weight grads — reproduces the DP-only
+    trajectory (same 'data' axis size => identical per-shard PRNG).
+    """
+    from mmvae_tpu.ops import nb_step
+
+    _need_devices(4)
+    old = nb_step._INTERPRET
+    nb_step._INTERPRET = True  # run the real Pallas kernels on CPU
+    try:
+        D, B, S = 64, 16, 2
+        model = NBVAE(data_dim=D, covar_dim=1, mean_latent=2)
+        rng = np.random.default_rng(3)
+        x_sb = rng.poisson(1.0, size=(S, B, D)).astype(np.float32)
+        c_sb = np.ones((S, B, 1), np.float32)
+        topt = TrainingOptions(nboot=2, superbatch=S, seed=0)
+        params0 = model.init(jax.random.PRNGKey(0))
+
+        # baseline: DP shard_map over 2 devices, fused (non-TP) kernels
+        mesh_dp = make_mesh(devices=jax.devices()[:2])
+        tr_dp = Trainer(
+            lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+            lambda x, o, b: nb_loss(x, o, b), topt, mesh=mesh_dp,
+            dp_shard_map=True,
+            report_loss_override=lambda p, x, c, k, b:
+                model.fused_step_report(p, x, c, k, b),
+            boot_loss_override=lambda p, x, c, k, b:
+                model.fused_step_boot(p, x, c, k, b),
+        )
+        s0 = tr_dp.optimizer.init(params0)
+        p_dp, _, rep_dp = tr_dp.step(
+            jax.tree.map(jnp.array, params0), s0, x_sb, c_sb, 0,
+            np.arange(S),
+        )
+        rep_dp = np.asarray(rep_dp)
+
+        # TP: 2 data x 2 model, TP-aware fused step
+        mesh_tp = make_mesh(model_parallel=2, devices=jax.devices()[:4])
+        tr_tp = Trainer(
+            lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+            lambda x, o, b: nb_loss(x, o, b), topt, mesh=mesh_tp,
+            tp_shard_map=True, data_dim=D,
+            report_loss_override=lambda p, x, c, k, b:
+                model.fused_step_report_tp(p, x, c, k, b),
+            boot_loss_override=lambda p, x, c, k, b:
+                model.fused_step_boot_tp(p, x, c, k, b),
+        )
+        s1 = tr_tp.optimizer.init(jax.tree.map(jnp.array, params0))
+        p_tp, _, rep_tp = tr_tp.step(
+            jax.tree.map(jnp.array, params0), s1, x_sb, c_sb, 0,
+            np.arange(S),
+        )
+        rep_tp = np.asarray(rep_tp)
+
+        np.testing.assert_allclose(rep_tp, rep_dp, rtol=3e-5)
+        leaves_dp = dict(jax.tree_util.tree_leaves_with_path(p_dp))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(p_tp):
+            ref = leaves_dp[path]
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(ref), rtol=2e-4, atol=2e-6,
+                err_msg=f"TP/DP param mismatch at "
+                        f"{jax.tree_util.keystr(path)}",
+            )
+    finally:
+        nb_step._INTERPRET = old
