@@ -75,7 +75,22 @@ class DeviceCSC:
         return densify_ell(self.ell_rows, self.ell_vals, cols, self.D)
 
 
-def materialize_dense(csc: DeviceCSC, chunk: int = 512) -> jax.Array:
+def dp_row_permutation(ntot: int, batch: int, ndev: int) -> np.ndarray:
+    """Row order that makes DP on-device epochs collective-free.
+
+    With the sequential schedule (batch b = rows [bB, bB+B)), device d
+    owns slot range [d*B/nd, (d+1)*B/nd) of every batch.  Laying the
+    dense array out as (device, batch, slot) makes each device's share
+    of batch b a contiguous LOCAL slice of its shard."""
+    assert ntot % batch == 0 and batch % ndev == 0
+    nbatch = ntot // batch
+    bl = batch // ndev
+    idx = np.arange(ntot, dtype=np.int64).reshape(nbatch, ndev, bl)
+    return idx.transpose(1, 0, 2).reshape(-1)
+
+
+def materialize_dense(csc: DeviceCSC, chunk: int = 512,
+                      order: np.ndarray | None = None) -> jax.Array:
     """Densify the WHOLE matrix once into an (N, D) device array.
 
     When N x D fits in HBM (the north-star 100k x 20k config is 4 GB at
@@ -83,6 +98,10 @@ def materialize_dense(csc: DeviceCSC, chunk: int = 512) -> jax.Array:
     becomes a contiguous row gather, ~free next to the train step.  The
     array keeps the ELL value dtype (int8/int16 when counts allow);
     compute paths widen bit-exactly, so trajectories are unchanged.
+
+    ``order`` (optional, length-N row permutation) materializes row i
+    of the output as column order[i] of the matrix — used by the DP
+    on-device layout (:func:`dp_row_permutation`).
     """
     N, D = csc.N, csc.D
     chunk = max(1, min(chunk, N))
@@ -92,20 +111,26 @@ def materialize_dense(csc: DeviceCSC, chunk: int = 512) -> jax.Array:
     # one jitted fori_loop: a single compile, a single (N, D) buffer
     # updated in place (an eager per-chunk loop pays per-op dispatch
     # through remote-device tunnels and doubles peak HBM)
-    def fill_all(rows, vals):
+    def fill_all(rows, vals, order_arr):
         cols0 = jnp.arange(chunk, dtype=jnp.int32)
 
         def body(i, dense):
             # final chunk overlaps backward so starts stay in bounds
             s = jnp.minimum(i * chunk, N - chunk)
-            xc = densify_ell(rows, vals, cols0 + s, D)
+            cols = cols0 + s
+            if order_arr is not None:
+                cols = order_arr[cols]
+            xc = densify_ell(rows, vals, cols, D)
             return jax.lax.dynamic_update_slice(dense, xc, (s, 0))
 
         return jax.lax.fori_loop(
             0, nchunks, body, jnp.zeros((N, D), dtype)
         )
 
-    return jax.jit(fill_all)(csc.ell_rows, csc.ell_vals)
+    order_dev = None if order is None else jnp.asarray(order, jnp.int32)
+    return jax.jit(fill_all, static_argnames=())(
+        csc.ell_rows, csc.ell_vals, order_dev
+    )
 
 
 def densify_ell(

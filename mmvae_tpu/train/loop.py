@@ -409,6 +409,93 @@ class Trainer:
         return run
 
     # ------------------------------------------------------------------
+    def make_ondevice_epoch_dp(self, data_dense_perm, ntot: int, B: int,
+                               covar_dim: int = 1, encode_fn=None,
+                               extra_fn=None):
+        """Whole-epoch runner for device-resident data UNDER DATA
+        PARALLELISM: the dense array is laid out in (device, batch,
+        slot) row order (:func:`mmvae_tpu.ops.densify.dp_row_permutation`)
+        and the epoch runs under ``shard_map`` over 'data', so every
+        device trains on a contiguous LOCAL slice per batch — zero
+        per-batch collectives besides the gradient pmean.  Semantics
+        match the dp_shard host path (per-shard keys folded with the
+        data-axis index), so trajectories are equal to host DP runs.
+
+        Restricted to the all-ones covariate and ntot % B == 0 (callers
+        fall back to the host path otherwise)."""
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert self.mesh is not None
+        ndev = self.mesh.shape["data"]
+        assert ntot % B == 0 and B % ndev == 0
+        nbatch = ntot // B
+        Bl = B // ndev
+
+        def epoch_fn(record: bool, params, opt_state, epoch_f, base_key,
+                     data):
+            ekey = jax.random.fold_in(base_key,
+                                      jnp.asarray(epoch_f, jnp.int32))
+
+            def scan_body(carry, b):
+                params, opt_state = carry
+                x = jax.lax.dynamic_slice_in_dim(data, b * Bl, Bl, 0)
+                if jnp.issubdtype(x.dtype, jnp.integer):
+                    x = x.astype(jnp.float32)
+                c = jnp.ones((Bl, covar_dim), jnp.float32)
+                key = jax.random.fold_in(ekey, b)
+                params, opt_state, rep = self._batch_step(
+                    params, opt_state, x, c, epoch_f, key,
+                    axis_name="data",
+                )
+                out = rep
+                if record:
+                    enc = encode_fn(params, x)
+                    extra = (extra_fn(params, x)
+                             if extra_fn is not None else jnp.zeros(()))
+                    out = (rep, enc, extra)
+                return (params, opt_state), out
+
+            (params, opt_state), outs = jax.lax.scan(
+                scan_body, (params, opt_state),
+                jnp.arange(nbatch, dtype=jnp.int32),
+            )
+            return params, opt_state, outs
+
+        def build(record: bool):
+            out_rep = P()
+            if record:
+                extra_spec = P(None, "data", None) if extra_fn is not None \
+                    else P()
+                outs_spec = (out_rep, (P(None, "data", None),
+                                       P(None, "data", None)), extra_spec)
+            else:
+                outs_spec = out_rep
+            step = jax.shard_map(
+                functools.partial(epoch_fn, record),
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(), P("data", None)),
+                out_specs=(P(), P(), outs_spec),
+                check_vma=False,
+            )
+            return jax.jit(step, donate_argnums=(0, 1))
+
+        jitted = build(False)
+        jitted_rec = build(True) if encode_fn is not None else None
+        data_sharded = jax.device_put(
+            data_dense_perm, NamedSharding(self.mesh, P("data", None))
+        )
+
+        def run(params, opt_state, epoch: int, record: bool = False):
+            fn = jitted_rec if (record and jitted_rec is not None) else jitted
+            return fn(params, opt_state, jnp.float32(epoch),
+                      self._base_key, data_sharded)
+
+        run.can_record = encode_fn is not None
+        return run
+
+    # ------------------------------------------------------------------
     def _put(self, arr: np.ndarray, covar: bool = False):
         """Device-put a (S, B, D) superbatch, sharded over the mesh's
         batch axis when data parallelism is on (TP additionally shards
@@ -526,16 +613,28 @@ def train_vae_model(
     # per-batch host->device traffic.  Requires in-memory data, a safe
     # padded-ELL HBM footprint, and no device mesh (the on-device epoch
     # runner is single-device).
-    if not ondevice and getattr(opt, "auto_ondevice", False) and mesh is None:
+    # DP x on-device: allowed under dp_shard_map on a single host when
+    # the schedule is clean (no wrap-around, batch divisible over the
+    # data axis) and the covariate is the auto all-ones.
+    dp_ondevice_ok = (
+        mesh is not None and dp_shard_map and host_count == 1
+        and not tp_shard_map
+        and ntot % B == 0 and B % mesh.shape["data"] == 0
+    )
+    if not ondevice and getattr(opt, "auto_ondevice", False) and (
+        mesh is None or dp_ondevice_ok
+    ):
         from ..data.block import MtxMemoryBlock
 
         if isinstance(data_block, MtxMemoryBlock):
             # either layout qualifies: padded ELL (~6-8 B/nnz-slot) or
-            # the dense-resident matrix (2 B/element at int16)
+            # the dense-resident matrix (2 B/element at int16); the DP
+            # variant needs the dense layout
             ell_bytes = 8 * ntot * data_block.k_max()
             dense_bytes = 2 * ntot * data_block.nfeature()
             budget = int(os.environ.get("MMVAE_ONDEVICE_BYTES", 4 << 30))
-            need = min(ell_bytes, dense_bytes)
+            need = dense_bytes if mesh is not None else min(ell_bytes,
+                                                            dense_bytes)
             if 0 < need <= budget:
                 TLOG(f"Auto-enabling on-device epochs "
                      f"(~{need / 1e6:,.0f} MB; "
@@ -543,7 +642,37 @@ def train_vae_model(
                 ondevice = True
 
     epoch_runner = None
-    if ondevice:
+    if ondevice and mesh is not None:
+        if dp_ondevice_ok and _is_all_ones(covar_block):
+            from ..ops.densify import (
+                DeviceCSC,
+                dp_row_permutation,
+                materialize_dense,
+            )
+
+            data_csc = DeviceCSC.from_memory_block(
+                _as_memory_block(data_block), count_dtype="auto"
+            )
+            ndev = mesh.shape["data"]
+            TLOG(f"Loading data on device (dense-resident, DP layout "
+                 f"over {ndev} devices)")
+            dense = materialize_dense(
+                data_csc, order=dp_row_permutation(ntot, B, ndev)
+            )
+            data_csc.ell_rows = data_csc.ell_vals = None
+            epoch_runner = trainer.make_ondevice_epoch_dp(
+                dense, ntot, B, covar_block.nfeature(),
+                encode_fn=(recorder.encode if recorder is not None
+                           else None),
+                extra_fn=(recorder.extra_fn if recorder is not None
+                          else None),
+            )
+        else:
+            TLOG("on-device epochs with a mesh need --dp_shard, a "
+                 "wrap-free schedule, and the all-ones covariate; "
+                 "falling back to the host loop")
+            ondevice = False
+    elif ondevice:
         from ..ops.densify import DeviceCSC, materialize_dense
 
         data_csc = DeviceCSC.from_memory_block(

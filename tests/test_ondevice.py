@@ -121,3 +121,40 @@ def test_ondevice_ell_mode_matches_dense(setup, monkeypatch):
                     jax.tree_util.tree_leaves(p_dense)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_ondevice_dp_matches_host_dp(mtx_file, tmp_path):
+    """DP x on-device epochs (device-major dense layout under
+    shard_map) reproduce the dp_shard host-loop trajectory."""
+    from mmvae_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    path, idx, dens = mtx_file
+    B = 24  # ntot=120 % 24 == 0 (wrap-free), 24 % 8 == 0
+    data = MtxMemoryBlock(path, idx, B)
+    cov_path = str(tmp_path / "cov.mtx.gz")
+    create_ones_like(data, cov_path)
+    cov_idx = build_mmutil_index(cov_path)
+    covar = MtxMemoryBlock(cov_path, cov_idx, B)
+    model = NBVAE(data_dim=dens.shape[0], covar_dim=1)
+
+    def run(ondevice):
+        topt = TrainingOptions(nboot=2, max_epoch=3, recording=100,
+                               superbatch=2, seed=0, auto_ondevice=False)
+        params = model.init(jax.random.PRNGKey(0))
+        return train_vae_model(
+            lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+            None, data, covar, topt,
+            lambda x, out, beta: nb_loss(x, out, beta),
+            params, mesh=make_mesh(), dp_shard_map=True,
+            ondevice=ondevice,
+        )
+
+    p_host, l_host = run(False)
+    p_dev, l_dev = run(True)
+    np.testing.assert_allclose(l_host, l_dev, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_host),
+                    jax.tree_util.tree_leaves(p_dev)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
