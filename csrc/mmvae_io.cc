@@ -292,6 +292,140 @@ int64_t mmvae_read_block(const char *path, int64_t beg, int64_t end,
     return n;
 }
 
+// Whole-file CSC read for column-sorted matrices: one pass builds the
+// row/value arrays in file order plus the per-column indptr, and
+// gathers the value statistics (integrality, min/max, k_max) that the
+// Python side would otherwise need several 100M-element numpy passes
+// for.  Returns nnz; -1 on I/O error; -2 if columns are NOT sorted
+// (caller falls back to the triplet path + lexsort).
+//
+// stats[0] = 1.0 if all values are non-negative integers
+// stats[1] = max value, stats[2] = min value
+// stats[3] = largest per-column count (padded-ELL row width)
+int64_t mmvae_read_csc(const char *path, int64_t ncols,
+                       int32_t **rows_out, float **vals_out,
+                       int64_t **indptr_out, double *stats) {
+    BgzfIn in;
+    if (!in.open(path)) return -1;
+    int64_t dims[3];
+    if (!read_header(in, dims)) return -1;
+    if (ncols <= 0) ncols = dims[1];
+
+    std::vector<int32_t> rows;
+    std::vector<float> vals;
+    rows.reserve((size_t)dims[2]);
+    vals.reserve((size_t)dims[2]);
+    int64_t *indptr = (int64_t *)calloc((size_t)ncols + 1, sizeof(int64_t));
+
+    std::string line;
+    int64_t last_col = -1;
+    int64_t run = 0, kmax = 0;
+    bool integral = true;
+    double vmax = 0.0, vmin = 0.0;
+    bool first_val = true;
+    while (in.getline(line)) {
+        if (line.empty() || line[0] == '%') continue;
+        int64_t r, c;
+        double w;
+        if (!parse_triplet(line.c_str(), line.c_str() + line.size(), r, c, w))
+            continue;
+        --r;
+        --c;
+        if (c < 0 || c >= ncols) continue;
+        if (c < last_col) {
+            free(indptr);
+            return -2;  // not column-sorted
+        }
+        if (c != last_col) {
+            if (run > kmax) kmax = run;
+            run = 0;
+            last_col = c;
+        }
+        ++run;
+        ++indptr[c + 1];
+        rows.push_back((int32_t)r);
+        vals.push_back((float)w);
+        if (first_val) {
+            vmax = vmin = w;
+            first_val = false;
+        } else {
+            if (w > vmax) vmax = w;
+            if (w < vmin) vmin = w;
+        }
+        if (integral && (w < 0.0 || w != (double)(int64_t)w)) integral = false;
+    }
+    if (run > kmax) kmax = run;
+    for (int64_t c = 0; c < ncols; ++c) indptr[c + 1] += indptr[c];
+
+    int64_t n = (int64_t)rows.size();
+    *rows_out = (int32_t *)malloc(sizeof(int32_t) * (size_t)n);
+    *vals_out = (float *)malloc(sizeof(float) * (size_t)n);
+    memcpy(*rows_out, rows.data(), sizeof(int32_t) * (size_t)n);
+    memcpy(*vals_out, vals.data(), sizeof(float) * (size_t)n);
+    *indptr_out = indptr;
+    stats[0] = integral ? 1.0 : 0.0;
+    stats[1] = vmax;
+    stats[2] = vmin;
+    stats[3] = (double)kmax;
+    return n;
+}
+
+// Padded-ELL fill from CSC arrays in ONE pass, writing rows (int32,
+// -1 padding) and values in the requested dtype (0=f32, 1=i16, 2=i8)
+// directly — replaces ~5 numpy passes over the nonzeros.  Buffers are
+// caller-allocated (ncols x kmax), written fully including padding.
+void mmvae_ell_fill(const int32_t *rows, const float *vals,
+                    const int64_t *indptr, int64_t ncols, int64_t kmax,
+                    int32_t *ell_rows, void *ell_vals, int vdtype) {
+    for (int64_t c = 0; c < ncols; ++c) {
+        int64_t lo = indptr[c], hi = indptr[c + 1];
+        int64_t cnt = hi - lo;
+        int32_t *rrow = ell_rows + c * kmax;
+        for (int64_t j = 0; j < cnt; ++j) rrow[j] = rows[lo + j];
+        for (int64_t j = cnt; j < kmax; ++j) rrow[j] = -1;
+        if (vdtype == 0) {
+            float *vrow = (float *)ell_vals + c * kmax;
+            for (int64_t j = 0; j < cnt; ++j) vrow[j] = vals[lo + j];
+            for (int64_t j = cnt; j < kmax; ++j) vrow[j] = 0.0f;
+        } else if (vdtype == 1) {
+            int16_t *vrow = (int16_t *)ell_vals + c * kmax;
+            for (int64_t j = 0; j < cnt; ++j)
+                vrow[j] = (int16_t)vals[lo + j];
+            for (int64_t j = cnt; j < kmax; ++j) vrow[j] = 0;
+        } else {
+            int8_t *vrow = (int8_t *)ell_vals + c * kmax;
+            for (int64_t j = 0; j < cnt; ++j) vrow[j] = (int8_t)vals[lo + j];
+            for (int64_t j = cnt; j < kmax; ++j) vrow[j] = 0;
+        }
+    }
+}
+
+// Whole-matrix densify from CSC arrays into a caller-ZEROED row-major
+// (nrows_out, D) buffer — one pass over the nonzeros.  ``order`` (may
+// be NULL) maps output row i to matrix column order[i]; used to lay
+// the data out in the data-parallel (device, batch, slot) row order.
+void mmvae_dense_fill(const int32_t *rows, const float *vals,
+                      const int64_t *indptr, int64_t D,
+                      const int64_t *order, int64_t nrows_out, void *out,
+                      int vdtype) {
+    for (int64_t i = 0; i < nrows_out; ++i) {
+        int64_t c = order ? order[i] : i;
+        int64_t lo = indptr[c], hi = indptr[c + 1];
+        if (vdtype == 0) {
+            float *row = (float *)out + i * D;
+            for (int64_t j = lo; j < hi; ++j) row[rows[j]] = vals[j];
+        } else if (vdtype == 1) {
+            int16_t *row = (int16_t *)out + i * D;
+            for (int64_t j = lo; j < hi; ++j)
+                row[rows[j]] = (int16_t)vals[j];
+        } else {
+            int8_t *row = (int8_t *)out + i * D;
+            for (int64_t j = lo; j < hi; ++j)
+                row[rows[j]] = (int8_t)vals[j];
+        }
+    }
+}
+
 // Fast triplet scan over a contiguous byte range (one or more whole
 // lines).  Parses "row col value" with a hand-rolled number reader
 // (integer fast path, simple decimals; strtod only for exponents),

@@ -21,6 +21,22 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     except Exception:  # pragma: no cover - already initialized
         pass
 
+# Persistent compilation cache: first compiles through remote-device
+# tunnels cost minutes; repeat CLI invocations should not re-pay them.
+# Opt out with MMVAE_JAX_CACHE=off.
+_cache_dir = os.environ.get(
+    "MMVAE_JAX_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "mmvae_tpu", "jax"),
+)
+if _cache_dir and _cache_dir.lower() != "off":
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover
+        pass
+
 from ..data.block import MtxDataBlock, MtxMemoryBlock, create_ones_like
 from ..io.index import build_mmutil_index
 from ..io.mtx import peek_mtx_header

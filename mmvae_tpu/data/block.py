@@ -184,45 +184,63 @@ class MtxMemoryBlock:
         from ..io.bgzf import is_bgzf
         from ..io.mtx import header_end_voffset, read_mtx_any
 
+        self._stats = None  # native-gathered value stats, when available
+        csc_done = False
         if is_bgzf(self.mtx_file):
             info = peek_mtx_header(self.mtx_file)
             self.D, self.N = info.rows, info.cols
-            data_start = header_end_voffset(self.mtx_file)
             if native.available():
-                rows, cols, vals = native.read_block(
-                    self.mtx_file, data_start, LAST_POS
-                )
-            else:
-                rows, cols, vals = read_mtx_block(
-                    self.mtx_file, data_start, LAST_POS
-                )
+                # one-pass native CSC read: builds indptr and value
+                # stats during the parse — on slow hosts the numpy
+                # lexsort/gather/scan passes over ~100M nonzeros cost
+                # minutes (None when the file isn't column-sorted)
+                got = native.read_csc(self.mtx_file, self.N)
+                if got is not None:
+                    self._rows, self._vals, self._indptr, self._stats = got
+                    csc_done = True
+            if not csc_done:
+                data_start = header_end_voffset(self.mtx_file)
+                if native.available():
+                    rows, cols, vals = native.read_block(
+                        self.mtx_file, data_start, LAST_POS
+                    )
+                else:
+                    rows, cols, vals = read_mtx_block(
+                        self.mtx_file, data_start, LAST_POS
+                    )
         else:
             # plain gzip / uncompressed .mtx: no random access, but the
             # in-memory path only needs one full read
             # (reference: visit_matrix_market_file, io_alg.hh:216-236)
             info, rows, cols, vals = read_mtx_any(self.mtx_file)
             self.D, self.N = info.rows, info.cols
-        # CSC layout: column-sorted triplets -> indptr by column
-        order = np.lexsort((rows, cols))
-        self._rows = rows[order].astype(np.int64)
-        self._vals = vals[order].astype(np.float32)
-        colcounts = np.bincount(cols[order], minlength=self.N)
-        self._indptr = np.zeros(self.N + 1, dtype=np.int64)
-        np.cumsum(colcounts, out=self._indptr[1:])
+        if not csc_done:
+            # CSC layout: column-sorted triplets -> indptr by column
+            order = np.lexsort((rows, cols))
+            self._rows = rows[order].astype(np.int64)
+            self._vals = vals[order].astype(np.float32)
+            colcounts = np.bincount(cols[order], minlength=self.N)
+            self._indptr = np.zeros(self.N + 1, dtype=np.int64)
+            np.cumsum(colcounts, out=self._indptr[1:])
         # ``count_dtype="auto"``: emit the narrowest lossless integer
         # batch buffer (counts are integers) — host->device transfer of
         # the (B, D) batch is the CLI bottleneck at large D, and the
         # compute paths widen integers to f32 bit-exactly.
-        buf_dtype = np.float32
-        if self._want_narrow and len(self._vals):
-            vmax = float(self._vals.max())
-            vmin = float(self._vals.min())
-            integral = bool(np.all(self._vals == np.trunc(self._vals)))
+        self.val_dtype = np.float32
+        if len(self._vals) and (self._stats is not None or self._want_narrow):
+            if self._stats is not None:
+                integral = self._stats["integral"]
+                vmax, vmin = self._stats["vmax"], self._stats["vmin"]
+            else:
+                vmax = float(self._vals.max())
+                vmin = float(self._vals.min())
+                integral = bool(np.all(self._vals == np.trunc(self._vals)))
             if integral and vmin >= 0.0:
                 if vmax <= 127.0:
-                    buf_dtype = np.int8
+                    self.val_dtype = np.int8
                 elif vmax <= 32767.0:
-                    buf_dtype = np.int16
+                    self.val_dtype = np.int16
+        buf_dtype = self.val_dtype if self._want_narrow else np.float32
         self._mem = np.zeros((self.B, self.D), dtype=buf_dtype)
         TLOG(f"Loaded sparse matrix in memory: {self.D} x {self.N}"
              + (f" ({np.dtype(buf_dtype).name} batches)"

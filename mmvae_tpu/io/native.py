@@ -85,6 +85,24 @@ def _load():
             _i64, _pf32,               # D, out
         ]
         lib.mmvae_read_batch.restype = _i64
+        _pi32 = ctypes.POINTER(ctypes.c_int32)
+        lib.mmvae_read_csc.argtypes = [
+            ctypes.c_char_p, _i64,
+            ctypes.POINTER(_pi32), ctypes.POINTER(_pf32),
+            ctypes.POINTER(_pi64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.mmvae_read_csc.restype = _i64
+        lib.mmvae_ell_fill.argtypes = [
+            _pi32, _pf32, _pi64, _i64, _i64,
+            _pi32, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.mmvae_ell_fill.restype = None
+        lib.mmvae_dense_fill.argtypes = [
+            _pi32, _pf32, _pi64, _i64,
+            _pi64, _i64, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.mmvae_dense_fill.restype = None
         _lib = lib
         return _lib
 
@@ -148,6 +166,94 @@ def read_block(
         lib.mmvae_free(cols_p)
         lib.mmvae_free(vals_p)
     return rows, cols, vals
+
+
+def read_csc(path: str, ncols: int):
+    """One-pass whole-file CSC read for column-sorted matrices.
+
+    Returns (rows_i32, vals_f32, indptr_i64, stats) where stats =
+    {"integral", "vmax", "vmin", "k_max"}; None when the file is not
+    column-sorted (caller falls back to triplets + lexsort)."""
+    lib = _load()
+    _pi32 = ctypes.POINTER(ctypes.c_int32)
+    rows_p, vals_p, indptr_p = _pi32(), _pf32(), _pi64()
+    stats = (ctypes.c_double * 4)()
+    n = lib.mmvae_read_csc(
+        os.fspath(path).encode(), ncols,
+        ctypes.byref(rows_p), ctypes.byref(vals_p),
+        ctypes.byref(indptr_p), stats,
+    )
+    if n == -2:
+        return None
+    if n < 0:
+        raise IOError(f"native read_csc failed for {path}")
+    try:
+        rows = (np.ctypeslib.as_array(rows_p, shape=(n,)).copy()
+                if n else np.zeros(0, np.int32))
+        vals = (np.ctypeslib.as_array(vals_p, shape=(n,)).copy()
+                if n else np.zeros(0, np.float32))
+        indptr = np.ctypeslib.as_array(indptr_p, shape=(ncols + 1,)).copy()
+    finally:
+        if n:
+            lib.mmvae_free(rows_p)
+            lib.mmvae_free(vals_p)
+        lib.mmvae_free(indptr_p)
+    return rows, vals, indptr, {
+        "integral": bool(stats[0]),
+        "vmax": float(stats[1]),
+        "vmin": float(stats[2]),
+        "k_max": int(stats[3]),
+    }
+
+
+def ell_fill(rows: np.ndarray, vals: np.ndarray, indptr: np.ndarray,
+             k_max: int, val_dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Padded-ELL (ncols, k_max) arrays filled in one native pass."""
+    lib = _load()
+    _pi32 = ctypes.POINTER(ctypes.c_int32)
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    ncols = len(indptr) - 1
+    vd = np.dtype(val_dtype)
+    code = {"float32": 0, "int16": 1, "int8": 2}[vd.name]
+    ell_rows = np.empty((ncols, k_max), np.int32)
+    ell_vals = np.empty((ncols, k_max), vd)
+    lib.mmvae_ell_fill(
+        rows.ctypes.data_as(_pi32), vals.ctypes.data_as(_pf32),
+        indptr.ctypes.data_as(_pi64), ncols, k_max,
+        ell_rows.ctypes.data_as(_pi32),
+        ell_vals.ctypes.data_as(ctypes.c_void_p), code,
+    )
+    return ell_rows, ell_vals
+
+
+def dense_fill(rows: np.ndarray, vals: np.ndarray, indptr: np.ndarray,
+               D: int, val_dtype, order: np.ndarray | None = None
+               ) -> np.ndarray:
+    """Whole-matrix host densify: (nrows, D) in val_dtype, one C pass.
+
+    ``order`` reorders output rows (row i <- column order[i])."""
+    lib = _load()
+    _pi32 = ctypes.POINTER(ctypes.c_int32)
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    ncols = len(indptr) - 1
+    vd = np.dtype(val_dtype)
+    code = {"float32": 0, "int16": 1, "int8": 2}[vd.name]
+    nrows = ncols if order is None else len(order)
+    out = np.zeros((nrows, D), vd)
+    order_p = None
+    if order is not None:
+        order = np.ascontiguousarray(order, dtype=np.int64)
+        order_p = order.ctypes.data_as(_pi64)
+    lib.mmvae_dense_fill(
+        rows.ctypes.data_as(_pi32), vals.ctypes.data_as(_pf32),
+        indptr.ctypes.data_as(_pi64), D,
+        order_p, nrows, out.ctypes.data_as(ctypes.c_void_p), code,
+    )
+    return out
 
 
 def read_batch(

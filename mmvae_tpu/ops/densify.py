@@ -32,34 +32,47 @@ class DeviceCSC:
 
     def __init__(self, rows: np.ndarray, vals: np.ndarray,
                  indptr: np.ndarray, shape: tuple[int, int],
-                 count_dtype: str = "float32"):
+                 count_dtype: str = "float32", val_dtype=None):
         self.D, self.N = shape
         # narrow integer storage when lossless: counts are integers, so
         # int8/int16 halves-to-quarters the HBM-resident values and the
-        # densified batches (the compute kernels widen bit-exactly)
-        val_dtype = np.float32
-        if count_dtype == "auto" and len(vals):
-            vmax, vmin = float(vals.max()), float(vals.min())
-            if (vmin >= 0.0 and np.all(vals == np.trunc(vals))):
-                if vmax <= 127.0:
-                    val_dtype = np.int8
-                elif vmax <= 32767.0:
-                    val_dtype = np.int16
+        # densified batches (the compute kernels widen bit-exactly).
+        # ``val_dtype`` skips the value scan when the caller already
+        # knows (MtxMemoryBlock gathers it during its native read).
+        if val_dtype is None:
+            val_dtype = np.float32
+            if count_dtype == "auto" and len(vals):
+                vmax, vmin = float(vals.max()), float(vals.min())
+                if (vmin >= 0.0 and np.all(vals == np.trunc(vals))):
+                    if vmax <= 127.0:
+                        val_dtype = np.int8
+                    elif vmax <= 32767.0:
+                        val_dtype = np.int16
         counts = np.diff(indptr)
         self.k_max = int(counts.max()) if len(counts) else 0
-        ell_rows = np.full((self.N, self.k_max), -1, dtype=np.int32)
-        ell_vals = np.zeros((self.N, self.k_max), dtype=val_dtype)
-        if len(rows):
-            # vectorized ELL fill: each nonzero lands at
-            # (its column, its within-column offset)
-            col_ids = np.repeat(
-                np.arange(self.N, dtype=np.int64), counts
+        from ..io import native
+
+        if native.available() and self.k_max > 0:
+            # one native pass fills rows (-1-padded) and values in the
+            # target dtype — several numpy passes over the nonzeros
+            # otherwise (minutes at ~100M nnz on slow hosts)
+            ell_rows, ell_vals = native.ell_fill(
+                rows, vals, indptr, self.k_max, val_dtype
             )
-            offs = np.arange(len(rows), dtype=np.int64) - np.repeat(
-                indptr[:-1].astype(np.int64), counts
-            )
-            ell_rows[col_ids, offs] = rows
-            ell_vals[col_ids, offs] = vals
+        else:
+            ell_rows = np.full((self.N, self.k_max), -1, dtype=np.int32)
+            ell_vals = np.zeros((self.N, self.k_max), dtype=val_dtype)
+            if len(rows):
+                # vectorized ELL fill: each nonzero lands at
+                # (its column, its within-column offset)
+                col_ids = np.repeat(
+                    np.arange(self.N, dtype=np.int64), counts
+                )
+                offs = np.arange(len(rows), dtype=np.int64) - np.repeat(
+                    indptr[:-1].astype(np.int64), counts
+                )
+                ell_rows[col_ids, offs] = rows
+                ell_vals[col_ids, offs] = vals
         self.ell_rows = jnp.asarray(ell_rows)
         self.ell_vals = jnp.asarray(ell_vals)
 
@@ -67,8 +80,12 @@ class DeviceCSC:
     def from_memory_block(cls, block,
                           count_dtype: str = "float32") -> "DeviceCSC":
         rows, vals, indptr = block.csc_arrays()
+        # reuse the block's value-dtype decision when it matches the
+        # request (avoids re-scanning the values)
+        vd = getattr(block, "val_dtype", None)
         return cls(rows, vals, indptr, (block.nfeature(), block.ntot()),
-                   count_dtype=count_dtype)
+                   count_dtype=count_dtype,
+                   val_dtype=(vd if count_dtype == "auto" else None))
 
     def densify(self, cols: jax.Array) -> jax.Array:
         """(B,) column ids -> dense (B, D) batch, entirely on device."""

@@ -644,22 +644,13 @@ def train_vae_model(
     epoch_runner = None
     if ondevice and mesh is not None:
         if dp_ondevice_ok and _is_all_ones(covar_block):
-            from ..ops.densify import (
-                DeviceCSC,
-                dp_row_permutation,
-                materialize_dense,
-            )
+            from ..ops.densify import dp_row_permutation
 
-            data_csc = DeviceCSC.from_memory_block(
-                _as_memory_block(data_block), count_dtype="auto"
-            )
             ndev = mesh.shape["data"]
             TLOG(f"Loading data on device (dense-resident, DP layout "
                  f"over {ndev} devices)")
-            dense = materialize_dense(
-                data_csc, order=dp_row_permutation(ntot, B, ndev)
-            )
-            data_csc.ell_rows = data_csc.ell_vals = None
+            dense = _build_dense(data_block,
+                                 order=dp_row_permutation(ntot, B, ndev))
             epoch_runner = trainer.make_ondevice_epoch_dp(
                 dense, ntot, B, covar_block.nfeature(),
                 encode_fn=(recorder.encode if recorder is not None
@@ -673,25 +664,27 @@ def train_vae_model(
                  "falling back to the host loop")
             ondevice = False
     elif ondevice:
-        from ..ops.densify import DeviceCSC, materialize_dense
+        from ..ops.densify import DeviceCSC
 
-        data_csc = DeviceCSC.from_memory_block(
-            _as_memory_block(data_block), count_dtype="auto"
-        )
-        # Dense-resident fast path: when N x D fits the budget,
-        # materialize once and gather rows per batch instead of paying
-        # the ~0.9 ms/batch ELL scatter (the ELL arrays are freed).
-        data_dense = None
-        dense_bytes = ntot * data_csc.D * data_csc.ell_vals.dtype.itemsize
+        # Dense-resident fast path: when N x D fits the budget, densify
+        # ONCE (host-side, one native pass) and gather rows per batch
+        # instead of paying the ~0.9 ms/batch ELL scatter.
+        data_mem = _as_memory_block(data_block)
+        vd = np.dtype(getattr(data_mem, "val_dtype", np.float32))
+        dense_bytes = ntot * data_mem.nfeature() * vd.itemsize
         dense_budget = int(os.environ.get("MMVAE_DENSE_BYTES", 6 << 30))
+        data_dense = None
         if 0 < dense_bytes <= dense_budget:
             TLOG(f"Loading data on device (dense-resident, "
-                 f"{dense_bytes / 1e6:,.0f} MB "
-                 f"{data_csc.ell_vals.dtype.name})")
-            data_dense = materialize_dense(data_csc)
-            data_csc.ell_rows = data_csc.ell_vals = None  # free ELL HBM
+                 f"{dense_bytes / 1e6:,.0f} MB {vd.name})")
+            data_dense = _build_dense(data_mem)
+            import types
+
+            data_csc = types.SimpleNamespace(D=data_mem.nfeature())
         else:
             TLOG("Loading data on device (ELL layout)")
+            data_csc = DeviceCSC.from_memory_block(data_mem,
+                                                   count_dtype="auto")
         covar_csc = None
         covar_dim = covar_block.nfeature()
         if not _is_all_ones(covar_block):
@@ -816,6 +809,26 @@ def train_vae_model(
     _trace_scope.close()
     TLOG("Done training")
     return params, loss_vec
+
+
+def _build_dense(block, order=None):
+    """Dense (nrows, D) device array from a data block's CSC arrays, in
+    the narrowest lossless dtype — host-side native fill + one transfer
+    when the extension is available, device-side ELL materialize
+    otherwise."""
+    from ..io import native
+
+    blk = _as_memory_block(block)
+    rows, vals, indptr = blk.csc_arrays()
+    vd = getattr(blk, "val_dtype", np.float32)
+    if native.available():
+        host = native.dense_fill(rows, vals, indptr, blk.nfeature(), vd,
+                                 order)
+        return jnp.asarray(host)
+    from ..ops.densify import DeviceCSC, materialize_dense
+
+    csc = DeviceCSC.from_memory_block(blk, count_dtype="auto")
+    return materialize_dense(csc, order=order)
 
 
 def _as_memory_block(block):

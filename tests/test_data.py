@@ -159,3 +159,43 @@ def test_prefetch_loader(mtx_file):
         assert np.array_equal(c, dens[:, batch].T)
         n += 1
     assert n == len(batches)
+
+
+def test_native_read_csc_matches_python(mtx_file):
+    """The one-pass native CSC reader agrees with the triplet+lexsort
+    path on arrays, stats, and the ELL fill."""
+    from mmvae_tpu.io import native
+    from mmvae_tpu.io.mtx import header_end_voffset, read_mtx_block, LAST_POS
+
+    if not native.available():
+        import pytest
+        pytest.skip("native extension unavailable")
+    path, idx, dens = mtx_file
+    N = dens.shape[1]
+    got = native.read_csc(path, N)
+    assert got is not None
+    rows, vals, indptr, stats = got
+    # reference CSC via the triplet path
+    r0, c0, v0 = read_mtx_block(path, header_end_voffset(path), LAST_POS)
+    order = np.lexsort((r0, c0))
+    np.testing.assert_array_equal(rows, r0[order])
+    np.testing.assert_array_equal(vals, v0[order])
+    counts = np.bincount(c0, minlength=N)
+    ref_indptr = np.zeros(N + 1, np.int64)
+    np.cumsum(counts, out=ref_indptr[1:])
+    np.testing.assert_array_equal(indptr, ref_indptr)
+    assert stats["k_max"] == int(counts.max())
+    assert stats["vmax"] == float(v0.max())
+    assert stats["integral"] == bool(np.all(v0 == np.trunc(v0)))
+
+    # native ELL fill == numpy ELL fill
+    k = stats["k_max"]
+    er, ev = native.ell_fill(rows, vals, indptr, k, np.float32)
+    ref_rows = np.full((N, k), -1, np.int32)
+    ref_vals = np.zeros((N, k), np.float32)
+    col_ids = np.repeat(np.arange(N), np.diff(indptr))
+    offs = np.arange(len(rows)) - np.repeat(indptr[:-1], np.diff(indptr))
+    ref_rows[col_ids, offs] = rows
+    ref_vals[col_ids, offs] = vals
+    np.testing.assert_array_equal(er, ref_rows)
+    np.testing.assert_array_equal(ev, ref_vals)
