@@ -52,6 +52,11 @@ def main(argv=None) -> int:
     topt = TrainingOptions.from_args(ns)
     topt.apply_runtime_config()
 
+    if topt.tensor_parallel > 1:
+        raise ValueError(
+            "--tensor_parallel currently covers nb_vae (the fused "
+            "NB step kernels); use --data_parallel/--dp_shard here"
+        )
     local_b, host_kw = multihost_setup(opts, topt)
     data_block, covar_block = prepare_blocks(opts, local_batch=local_b)
 
