@@ -380,3 +380,34 @@ def test_boot_grads_extreme_counts():
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5 * scale,
             err_msg=f"extreme-count grad mismatch: {name}",
         )
+
+
+def test_fused_step_int_x_close():
+    """Integer batches through the fused step agree with the widened
+    path to float precision.  (The training loop widens int batches
+    once per superbatch — measured 16% FASTER than feeding int16 to
+    the kernels, which re-convert per pass — so this documents the
+    fallback contract, not the hot path.)"""
+    D, B = 900, 11
+    model = NBVAE(data_dim=D, covar_dim=1, mean_latent=2)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    xi = rng.poisson(0.9, size=(B, D)).astype(np.int16)
+    c = jnp.ones((B, 1), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    beta = jnp.float32(0.5)
+
+    for fn in (model.fused_step_report, model.fused_step_boot):
+        vi = fn(params, jnp.asarray(xi), c, key, beta)
+        vf = fn(params, jnp.asarray(xi.astype(np.float32)), c, key, beta)
+        np.testing.assert_allclose(float(vi), float(vf), rtol=1e-6)
+
+    gi = jax.grad(lambda p: model.fused_step_boot(
+        p, jnp.asarray(xi), c, key, beta))(params)
+    gf = jax.grad(lambda p: model.fused_step_boot(
+        p, jnp.asarray(xi.astype(np.float32)), c, key, beta))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gi),
+                    jax.tree_util.tree_leaves(gf)):
+        scale = max(1e-3, float(np.abs(np.asarray(b)).max()))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6 * scale)
