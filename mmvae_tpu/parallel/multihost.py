@@ -24,7 +24,6 @@ import numpy as np
 
 import jax
 
-from ..data.block import MtxDataBlock
 from ..data.pipeline import sequential_batches
 
 
@@ -55,44 +54,23 @@ def host_slice(batch: np.ndarray, host_id: int, host_count: int) -> np.ndarray:
     return batch[host_id * bh: (host_id + 1) * bh]
 
 
-class HostShardedLoader:
-    """Per-host reader producing this host's slice of each global batch.
+def sharded_batches(ntot: int, global_batch: int, host_id: int,
+                    host_count: int) -> list[np.ndarray]:
+    """This host's slices of the global deterministic schedule.
 
-    With the sequential wrap-around schedule each host's slice is a
-    contiguous column range, so reads coalesce into one BGZF seek
-    per batch (reference: find_consecutive_blocks, mmvae_io.hh:150-204).
+    Every slice is a contiguous column range of its global batch, so
+    per-host reads coalesce into one BGZF seek (reference:
+    find_consecutive_blocks, mmvae_io.hh:150-204).  Used by
+    ``train_vae_model(host_count=...)``; per-host blocks are ordinary
+    :class:`~mmvae_tpu.data.MtxDataBlock`/``MtxMemoryBlock`` instances
+    with batch size ``global_batch // host_count``.
     """
-
-    def __init__(self, mtx_file: str, idx_file: str, global_batch: int,
-                 host_id: int, host_count: int):
-        assert global_batch % host_count == 0
-        self.host_id = host_id
-        self.host_count = host_count
-        self.local_batch = global_batch // host_count
-        self.global_batch = global_batch
-        self.block = MtxDataBlock(mtx_file, idx_file, self.local_batch)
-
-    def ntot(self) -> int:
-        return self.block.ntot()
-
-    def nfeature(self) -> int:
-        return self.block.nfeature()
-
-    def batches(self) -> list[np.ndarray]:
-        """The *global* deterministic schedule (identical on all hosts)."""
-        return sequential_batches(self.block.ntot(), self.global_batch)
-
-    def read_local(self, global_batch_cols: np.ndarray) -> np.ndarray:
-        """(B/H, D) rows for this host's slice of the global batch."""
-        cols = host_slice(global_batch_cols, self.host_id, self.host_count)
-        self.block.clear()
-        return self.block.read(cols)
+    return [host_slice(gb, host_id, host_count)
+            for gb in sequential_batches(ntot, global_batch)]
 
 
-def global_batch_array(mesh, local_rows: np.ndarray):
-    """Assemble per-host (B/H, D) rows into a global (B, D) jax.Array
-    sharded over the mesh's 'data' axis."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    sharding = NamedSharding(mesh, P("data", None))
+def global_batch_array(sharding, local_rows: np.ndarray):
+    """Assemble per-host local rows into one global jax.Array with the
+    given (batch-sharded) sharding.  Used by ``Trainer._put`` for every
+    multi-host input transfer."""
     return jax.make_array_from_process_local_data(sharding, local_rows)

@@ -506,9 +506,9 @@ class Trainer:
         sharding = self._c_sharding if covar else self._x_sharding
         if sharding is not None:
             if jax.process_count() > 1:
-                return jax.make_array_from_process_local_data(
-                    sharding, arr
-                )
+                from ..parallel.multihost import global_batch_array
+
+                return global_batch_array(sharding, arr)
             return jax.device_put(arr, sharding)
         return jnp.asarray(arr)
 
@@ -575,13 +575,11 @@ def train_vae_model(
         # host's B/H rows of every GLOBAL batch; the schedule is the
         # global one, sliced per host (each slice is a contiguous column
         # range, so reads coalesce into one BGZF seek).
-        from ..parallel.multihost import host_slice
+        from ..parallel.multihost import sharded_batches
 
         assert mesh is not None, "multi-host training needs a device mesh"
-        B_global = B * host_count
-        global_batches = sequential_batches(ntot, B_global)
-        batches = [host_slice(gb, host_id, host_count)
-                   for gb in global_batches]
+        batches = sharded_batches(ntot, B * host_count, host_id,
+                                  host_count)
         ondevice = False  # on-device epochs are single-host for now
     else:
         batches = sequential_batches(ntot, B)

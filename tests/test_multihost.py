@@ -5,9 +5,9 @@ import numpy as np
 import jax
 
 from mmvae_tpu.parallel.multihost import (
-    HostShardedLoader,
     global_batch_array,
     host_slice,
+    sharded_batches,
 )
 from mmvae_tpu.parallel.mesh import make_mesh
 
@@ -20,15 +20,19 @@ def test_host_slice_partition():
 
 
 def test_sharded_loader_union_equals_global(mtx_file):
+    from mmvae_tpu.data import MtxDataBlock
+
     path, idx, dens = mtx_file
     H, B = 4, 24
-    loaders = [HostShardedLoader(path, idx, B, h, H) for h in range(H)]
-    batches = loaders[0].batches()
-    assert all(np.array_equal(b1, b2) for b1, b2 in zip(
-        batches, loaders[1].batches()))  # identical schedule on all hosts
-    for gb in batches[:3]:
-        rows = [ld.read_local(gb).copy() for ld in loaders]
+    blocks = [MtxDataBlock(path, idx, B // H) for _ in range(H)]
+    per_host = [sharded_batches(dens.shape[1], B, h, H) for h in range(H)]
+    for b in range(3):
+        rows = []
+        for h in range(H):
+            blocks[h].clear()
+            rows.append(blocks[h].read(per_host[h][b]).copy())
         full = np.concatenate(rows, axis=0)
+        gb = np.concatenate([per_host[h][b] for h in range(H)])
         assert np.array_equal(full, dens[:, gb].T)
 
 
@@ -39,12 +43,17 @@ def test_global_batch_array_single_process(mtx_file):
         import pytest
 
         pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mmvae_tpu.data import MtxDataBlock
+
     path, idx, dens = mtx_file
     mesh = make_mesh()
-    ld = HostShardedLoader(path, idx, 16, 0, 1)
-    gb = ld.batches()[0]
-    local = ld.read_local(gb)
-    arr = global_batch_array(mesh, local)
+    blk = MtxDataBlock(path, idx, 16)
+    gb = sharded_batches(dens.shape[1], 16, 0, 1)[0]
+    blk.clear()
+    local = blk.read(gb).copy()
+    arr = global_batch_array(NamedSharding(mesh, P("data", None)), local)
     assert arr.shape == (16, dens.shape[0])
     np.testing.assert_array_equal(np.asarray(arr), dens[:, gb].T)
 
