@@ -331,7 +331,12 @@ int64_t mmvae_read_csc(const char *path, int64_t ncols,
             continue;
         --r;
         --c;
+        // bounds-validate BOTH indices: downstream dense/ELL fills
+        // write at rows[j] unchecked, so an out-of-range row in a
+        // corrupt file must never enter the arrays (the reference
+        // validates 1-based bounds too, io_alg.hh:137-147)
         if (c < 0 || c >= ncols) continue;
+        if (r < 0 || r >= dims[0]) continue;
         if (c < last_col) {
             free(indptr);
             return -2;  // not column-sorted
@@ -448,6 +453,7 @@ struct BatchScatter {
     }
 
     inline void emit(int64_t r, int64_t c, float w) {
+        if (r < 0 || r >= D) return;  // corrupt rows must not scatter OOB
         if (c < cmin || c > cmax) return;
         int64_t k;
         if (contiguous) {

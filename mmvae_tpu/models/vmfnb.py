@@ -218,7 +218,11 @@ class VMFNBVAE:
     # pb-outside-softmax and exp-nu); the vMF half stays in XLA.
     # ------------------------------------------------------------------
     def _can_fuse_step(self) -> bool:
-        return not self.mean_decoding
+        from ..ops.nb_elbo import NU_HI
+
+        # the kernels bake NU_HI as the nu clamp; a non-default nu_max
+        # must use the XLA path to keep the configured semantics
+        return not self.mean_decoding and self.nu_max == NU_HI
 
     def _step_prelude(self, params, x, key, training=True):
         """Latents + stacked kernel args; key split and encoder math
@@ -302,10 +306,14 @@ class VMFNBVAE:
 # ----------------------------------------------------------------------
 
 def vmf_nllik_parts(x: jax.Array, vmf_recon: jax.Array,
-                    vmf_kappa: jax.Array) -> jax.Array:
+                    vmf_kappa: jax.Array, dd: float | None = None
+                    ) -> jax.Array:
     """Per-sample vMF negative log-likelihood from raw pieces, summed
-    (vmfnb.hh:554-574)."""
-    dd = float(x.shape[1])
+    (vmfnb.hh:554-574).  ``dd`` overrides the effective dimensionality
+    (the mixture model restricts it to annotated features,
+    vmfnb_mixture.hh:610-629)."""
+    if dd is None:
+        dd = float(x.shape[1])
     eps = 1e-2 / dd
     yobs = l2_normalize(jnp.log1p(jax.nn.relu(x)) + eps, axis=1)
     df = max(0.5 * dd - 1.0, 0.0)

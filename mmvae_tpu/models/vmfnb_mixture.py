@@ -20,7 +20,6 @@ shape-(n,) row-sum against the (n,1) kappa head into an (n,n) matrix
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import NamedTuple
 
@@ -268,7 +267,10 @@ class VMFNBMixtureVAE:
     # variant; the vMF mixture (E-step + masked directions) stays XLA.
     # ------------------------------------------------------------------
     def _can_fuse_step(self) -> bool:
-        return not self.mean_decoding
+        from ..ops.nb_elbo import NU_HI
+
+        # the kernels bake NU_HI as the nu clamp (see vmfnb.py)
+        return not self.mean_decoding and self.nu_max == NU_HI
 
     def _step_prelude(self, params, x, key, training=True):
         k_gumbel, k_mu, k_nu = jax.random.split(key, 3)
@@ -351,18 +353,11 @@ class VMFNBMixtureVAE:
 def _mixture_vmf_nllik_parts(
     x: jax.Array, recon: jax.Array, kappa2d: jax.Array, dd: float
 ) -> jax.Array:
-    """vMF NLL over the masked feature set from raw pieces
-    (vmfnb_mixture.hh:610-629)."""
-    eps = 1e-2 / dd
-    yobs = l2_normalize(jnp.log1p(jax.nn.relu(x)) + eps, axis=1)
-    df = max(0.5 * dd - 1.0, 0.0)
-    kappa = kappa2d[:, 0]
-    llik = jnp.sum(yobs * recon, axis=1) * kappa
-    from ..ops.fastmath import fasterlog
+    """vMF NLL over the masked feature set (vmfnb_mixture.hh:610-629):
+    the joint-model formula restricted to ``dd`` effective features."""
+    from .vmfnb import vmf_nllik_parts
 
-    llik += df * jnp.log(kappa) - lbessel(kappa, df)
-    llik -= 0.5 * dd * fasterlog(2.0 * math.pi)
-    return -jnp.sum(llik)
+    return vmf_nllik_parts(x, recon, kappa2d, dd=dd)
 
 
 def mixture_vmf_nllik(

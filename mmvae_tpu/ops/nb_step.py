@@ -90,13 +90,15 @@ def xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb=None,
     x = jnp.asarray(x, jnp.float32)
     h = zm @ wd + c @ wc + bias2
     if model_axis is not None:
-        from ..parallel.collectives import psum_id_grad
-
+        # NOTE the plain psum: its cotangents are PER-SHARD (each
+        # shard's local-D loss terms consume s), so the summing default
+        # transpose is the correct one here — unlike the final nll
+        # reduction below, whose cotangent is replicated.
         m = jax.lax.pmax(
             jax.lax.stop_gradient(jnp.max(h, axis=1, keepdims=True)),
             model_axis,
         )
-        s = psum_id_grad(
+        s = jax.lax.psum(
             jnp.sum(jnp.exp(h - m), axis=1, keepdims=True), model_axis
         )
         ls = h - (m + jnp.log(s))
@@ -888,6 +890,19 @@ def _boot_tp_fwd(model_axis, x, zm, c, zn, depth, wd, wc, bias2, wn,
 
 
 def _boot_tp_bwd(model_axis, saved, g):
+    res, xla_vjp = saved
+    if res is None:
+        # XLA fallback: autodiff produced SHARD-LOCAL row cotangents
+        # (each shard differentiates only its local-D loss terms).  The
+        # TP contract — matching the kernel path, and required by the
+        # identity-gradient encoder psums upstream — is REPLICATED
+        # (globally summed) row cotangents, so psum them here.  Weight
+        # gradients are per-column and stay local.
+        dx, dzm, dc, dzn, ddep, dwd, dwc, db2, dwn, dbn = xla_vjp(g)
+        dzm = jax.lax.psum(dzm, model_axis)
+        dzn = jax.lax.psum(dzn, model_axis)
+        ddep = jax.lax.psum(ddep, model_axis)
+        return (None, dzm, None, dzn, ddep, dwd, dwc, db2, dwn, dbn)
     return _boot_bwd(saved, g)
 
 

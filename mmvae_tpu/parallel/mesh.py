@@ -67,16 +67,11 @@ def param_sharding(mesh: Mesh, params: dict, data_dim: int) -> dict:
     """Tensor-parallel layout: shard every parameter axis of size
     ``data_dim`` (the feature axis D) over 'model'; replicate the rest.
 
-    Returns a pytree of NamedSharding matching ``params``.
+    Returns a pytree of NamedSharding matching ``params`` (the
+    NamedSharding view of :func:`tree_pspecs` — one rule, two forms).
     """
-
-    def spec_for(arr) -> NamedSharding:
-        shape = np.shape(arr)
-        spec = [None] * len(shape)
-        for i, s in enumerate(shape):
-            if s == data_dim and data_dim > 1:
-                spec[i] = "model"
-                break  # shard at most one axis
-        return NamedSharding(mesh, P(*spec))
-
-    return jax.tree_util.tree_map(spec_for, params)
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec),
+        tree_pspecs(params, data_dim),
+        is_leaf=lambda s: isinstance(s, P),
+    )

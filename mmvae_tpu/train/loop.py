@@ -626,10 +626,14 @@ def train_vae_model(
 
         if isinstance(data_block, MtxMemoryBlock):
             # either layout qualifies: padded ELL (~6-8 B/nnz-slot) or
-            # the dense-resident matrix (2 B/element at int16); the DP
-            # variant needs the dense layout
+            # the dense-resident matrix at the block's ACTUAL value
+            # dtype (4 B/element for non-integer data); the DP variant
+            # needs the dense layout
+            vd_item = np.dtype(
+                getattr(data_block, "val_dtype", np.float32)
+            ).itemsize
             ell_bytes = 8 * ntot * data_block.k_max()
-            dense_bytes = 2 * ntot * data_block.nfeature()
+            dense_bytes = vd_item * ntot * data_block.nfeature()
             budget = int(os.environ.get("MMVAE_ONDEVICE_BYTES", 4 << 30))
             need = dense_bytes if mesh is not None else min(ell_bytes,
                                                             dense_bytes)
@@ -647,8 +651,12 @@ def train_vae_model(
             ndev = mesh.shape["data"]
             TLOG(f"Loading data on device (dense-resident, DP layout "
                  f"over {ndev} devices)")
-            dense = _build_dense(data_block,
-                                 order=dp_row_permutation(ntot, B, ndev))
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dense = _build_dense(
+                data_block, order=dp_row_permutation(ntot, B, ndev),
+                sharding=NamedSharding(mesh, P("data", None)),
+            )
             epoch_runner = trainer.make_ondevice_epoch_dp(
                 dense, ntot, B, covar_block.nfeature(),
                 encode_fn=(recorder.encode if recorder is not None
@@ -809,11 +817,12 @@ def train_vae_model(
     return params, loss_vec
 
 
-def _build_dense(block, order=None):
+def _build_dense(block, order=None, sharding=None):
     """Dense (nrows, D) device array from a data block's CSC arrays, in
     the narrowest lossless dtype — host-side native fill + one transfer
     when the extension is available, device-side ELL materialize
-    otherwise."""
+    otherwise.  ``sharding`` places the array directly (avoids staging
+    the full matrix on one device before a DP re-shard)."""
     from ..io import native
 
     blk = _as_memory_block(block)
@@ -822,11 +831,16 @@ def _build_dense(block, order=None):
     if native.available():
         host = native.dense_fill(rows, vals, indptr, blk.nfeature(), vd,
                                  order)
+        if sharding is not None:
+            return jax.device_put(host, sharding)
         return jnp.asarray(host)
     from ..ops.densify import DeviceCSC, materialize_dense
 
     csc = DeviceCSC.from_memory_block(blk, count_dtype="auto")
-    return materialize_dense(csc, order=order)
+    dense = materialize_dense(csc, order=order)
+    if sharding is not None:
+        dense = jax.device_put(dense, sharding)
+    return dense
 
 
 def _as_memory_block(block):

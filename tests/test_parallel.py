@@ -279,3 +279,48 @@ def test_tp_shard_map_fused_matches_dp():
             )
     finally:
         nb_step._INTERPRET = old
+
+
+def test_tp_fallback_grads_match_single_device():
+    """The TP XLA fallback (kernels disabled) must produce the same
+    gradients as the single-device fused step: the softmax-normalizer
+    psum keeps its summing transpose (per-shard cotangents) while the
+    row cotangents are psum'd in the custom bwd (round-2 review bug)."""
+    from jax.sharding import PartitionSpec as P
+
+    from mmvae_tpu.parallel.mesh import tree_pspecs
+
+    _need_devices(2)
+    D, B = 64, 16
+    model = NBVAE(data_dim=D, covar_dim=1, mean_latent=2)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.poisson(1.0, size=(B, D)).astype(np.float32))
+    c = jnp.ones((B, 1), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    beta = jnp.float32(0.5)
+
+    g_ref = jax.grad(lambda p: model.fused_step_boot(p, x, c, key, beta))(
+        params)
+
+    mesh = make_mesh(model_parallel=2, devices=jax.devices()[:2])
+    pspecs = tree_pspecs(params, D)
+
+    def tp_loss(p, x, c):
+        return model.fused_step_boot_tp(p, x, c, key, beta)
+
+    f = jax.shard_map(
+        lambda p, x, c: jax.grad(tp_loss)(p, x, c), mesh=mesh,
+        in_specs=(pspecs, P(None, "model"), P()), out_specs=pspecs,
+        check_vma=False,
+    )
+    g_tp = f(params, x, c)
+    ref = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_tp):
+        b = np.asarray(ref[path])
+        scale = max(1e-3, float(np.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(leaf), b, rtol=1e-4, atol=1e-5 * scale,
+            err_msg=f"TP fallback grad mismatch at "
+                    f"{jax.tree_util.keystr(path)}",
+        )
