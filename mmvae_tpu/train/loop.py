@@ -483,16 +483,26 @@ class Trainer:
 
         jitted = build(False)
         jitted_rec = build(True) if encode_fn is not None else None
-        data_sharded = jax.device_put(
-            data_dense_perm, NamedSharding(self.mesh, P("data", None))
-        )
+        sharding = NamedSharding(self.mesh, P("data", None))
+        if jax.process_count() > 1:
+            # multi-host: the argument is this host's (N/H, D) shard
+            from ..parallel.multihost import global_batch_array
+
+            data_sharded = global_batch_array(
+                sharding, np.asarray(data_dense_perm)
+            )
+        else:
+            data_sharded = jax.device_put(data_dense_perm, sharding)
 
         def run(params, opt_state, epoch: int, record: bool = False):
             fn = jitted_rec if (record and jitted_rec is not None) else jitted
             return fn(params, opt_state, jnp.float32(epoch),
                       self._base_key, data_sharded)
 
-        run.can_record = encode_fn is not None
+        # recording collects globally-sharded scan outputs, which a
+        # single process cannot fetch in multi-host runs — recording
+        # epochs fall back to the host loop there
+        run.can_record = encode_fn is not None and jax.process_count() == 1
         return run
 
     # ------------------------------------------------------------------
@@ -580,7 +590,6 @@ def train_vae_model(
         assert mesh is not None, "multi-host training needs a device mesh"
         batches = sharded_batches(ntot, B * host_count, host_id,
                                   host_count)
-        ondevice = False  # on-device epochs are single-host for now
     else:
         batches = sequential_batches(ntot, B)
     nbatch = len(batches)
@@ -611,13 +620,23 @@ def train_vae_model(
     # per-batch host->device traffic.  Requires in-memory data, a safe
     # padded-ELL HBM footprint, and no device mesh (the on-device epoch
     # runner is single-device).
-    # DP x on-device: allowed under dp_shard_map on a single host when
-    # the schedule is clean (no wrap-around, batch divisible over the
-    # data axis) and the covariate is the auto all-ones.
+    # DP x on-device: allowed under dp_shard_map when the schedule is
+    # clean (no wrap-around, global batch divisible over the data axis)
+    # and the covariate is the auto all-ones.  Multi-host additionally
+    # needs the native host densifier (each host fills only its own
+    # device-major row shard).
+    B_global = B * host_count
+    if host_count > 1:
+        from ..io import native as _native
+
+        _mh_dense_ok = _native.available()
+    else:
+        _mh_dense_ok = True
     dp_ondevice_ok = (
-        mesh is not None and dp_shard_map and host_count == 1
-        and not tp_shard_map
-        and ntot % B == 0 and B % mesh.shape["data"] == 0
+        mesh is not None and dp_shard_map and not tp_shard_map
+        and _mh_dense_ok
+        and ntot % B_global == 0
+        and B_global % mesh.shape["data"] == 0
     )
     if not ondevice and getattr(opt, "auto_ondevice", False) and (
         mesh is None or dp_ondevice_ok
@@ -650,15 +669,32 @@ def train_vae_model(
 
             ndev = mesh.shape["data"]
             TLOG(f"Loading data on device (dense-resident, DP layout "
-                 f"over {ndev} devices)")
-            from jax.sharding import NamedSharding, PartitionSpec as P
+                 f"over {ndev} devices"
+                 + (f" x {host_count} hosts" if host_count > 1 else "")
+                 + ")")
+            perm = dp_row_permutation(ntot, B_global, ndev)
+            if host_count > 1:
+                # each host fills ONLY its shard of the device-major
+                # layout (its devices' rows are a contiguous perm slice)
+                from ..io import native
 
-            dense = _build_dense(
-                data_block, order=dp_row_permutation(ntot, B, ndev),
-                sharding=NamedSharding(mesh, P("data", None)),
-            )
+                rows_per_host = ntot // host_count
+                local_order = perm[host_id * rows_per_host:
+                                   (host_id + 1) * rows_per_host]
+                blk = _as_memory_block(data_block)
+                r_, v_, ip_ = blk.csc_arrays()
+                vd = getattr(blk, "val_dtype", np.float32)
+                dense = native.dense_fill(r_, v_, ip_, blk.nfeature(),
+                                          vd, local_order)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dense = _build_dense(
+                    data_block, order=perm,
+                    sharding=NamedSharding(mesh, P("data", None)),
+                )
             epoch_runner = trainer.make_ondevice_epoch_dp(
-                dense, ntot, B, covar_block.nfeature(),
+                dense, ntot, B_global, covar_block.nfeature(),
                 encode_fn=(recorder.encode if recorder is not None
                            else None),
                 extra_fn=(recorder.extra_fn if recorder is not None

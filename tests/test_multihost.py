@@ -126,3 +126,65 @@ def test_two_process_cli_end_to_end(mtx_file, tmp_path):
         mat(mh_out + "_1_mu_decoding.weight.gz"),
         mat(sh_out + "_1_mu_decoding.weight.gz"),
     )
+
+
+def test_two_process_dp_ondevice_matches_single(mtx_file, tmp_path):
+    """Multi-host x DP x on-device epochs: two processes each hold
+    their device-major dense shard; trajectories match a single-process
+    8-device dp_shard on-device run exactly (same global 'data' axis
+    => same per-shard PRNG)."""
+    import gzip
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    path, idx, dens = mtx_file
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def env_for(ndev):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + f" --xla_force_host_platform_device_count={ndev}")
+        return env
+
+    def cli(out, ndev, extra):
+        # B_global=24: ntot=120 wrap-free, divisible over 8 devices
+        return subprocess.Popen(
+            [sys.executable, "-m", "mmvae_tpu.cli.nb_vae",
+             "--mtx", path, "--out", out, "--max_epoch", "2",
+             "--recording", "100", "--batch_size", "24",
+             "--superbatch", "2", "--dp_shard"] + extra,
+            env=env_for(ndev), cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+
+    mh_out = str(tmp_path / "mh")
+    procs = [
+        cli(mh_out, 4,
+            ["--coordinator", f"localhost:{port}", "--num_hosts", "2",
+             "--host_id", str(h)])
+        for h in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        outs.append(out.decode())
+        assert p.returncode == 0, out.decode()[-2000:]
+    assert any("DP layout over 8 devices x 2 hosts" in o for o in outs), \
+        outs[0][-1500:]
+
+    sh_out = str(tmp_path / "sh")
+    p = cli(sh_out, 8, [])
+    out, _ = p.communicate(timeout=560)
+    assert p.returncode == 0, out.decode()[-2000:]
+    assert "DP layout over 8 devices)" in out.decode(), out.decode()[-1500:]
+
+    def scores(h):
+        return [float(v) for v in gzip.open(h + ".scores.gz", "rt")]
+
+    assert scores(mh_out) == scores(sh_out)
