@@ -129,3 +129,45 @@ def test_mtx_writer_is_column_sorted_and_indexable(tmp_path, rng):
     tab = index.read_mmutil_index(idx)
     assert len(tab) == N
     assert index.check_index_tab(path, tab)
+
+
+def test_native_read_csc_skips_out_of_bounds_rows(tmp_path):
+    """Corrupt row indices must be dropped by the native CSC reader
+    (downstream dense/ELL fills write at rows[j] unchecked)."""
+    from mmvae_tpu.io import native
+    from mmvae_tpu.io.bgzf import BgzfWriter
+
+    if not native.available():
+        import pytest
+        pytest.skip("native extension unavailable")
+    path = str(tmp_path / "bad.mtx.gz")
+    w = BgzfWriter(path)
+    w.write(b"%%MatrixMarket matrix coordinate integer general\n")
+    w.write(b"3 2 5\n")
+    # rows 1..3 valid; row 9 and row 0 are out of bounds / invalid
+    w.write(b"1 1 5\n9 1 7\n3 1 2\n2 2 4\n0 2 9\n")
+    w.close()
+    got = native.read_csc(path, 2)
+    assert got is not None
+    rows, vals, indptr, stats = got
+    assert rows.tolist() == [0, 2, 1]      # OOB triplets dropped
+    assert vals.tolist() == [5.0, 2.0, 4.0]
+    assert indptr.tolist() == [0, 2, 3]
+
+
+def test_truncated_bgzf_fails_cleanly(tmp_path):
+    """A truncated BGZF file raises instead of hanging or crashing."""
+    import pytest
+
+    from mmvae_tpu.io.bgzf import BgzfWriter
+    from mmvae_tpu.io.mtx import peek_mtx_header
+
+    path = str(tmp_path / "trunc.mtx.gz")
+    w = BgzfWriter(path)
+    w.write(b"%%MatrixMarket matrix coordinate integer general\n")
+    w.write(b"10 10 1\n1 1 1\n")
+    w.close()
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) // 3])
+    with pytest.raises(Exception):
+        peek_mtx_header(path)
