@@ -83,6 +83,7 @@ def main(argv=None) -> int:
         opts.out, topt.max_epoch, data_block.ntot(),
         encode_fn=lambda p, x: model.encode_mu(p, x),
         mean_name="mu_mean", lnvar_name="mu_lnvar",
+        async_writes=True,
     )
 
     def forward(p, x, c, key, training):

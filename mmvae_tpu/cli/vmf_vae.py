@@ -77,6 +77,7 @@ def main(argv=None) -> int:
         opts.out, topt.max_epoch, data_block.ntot(),
         encode_fn=lambda p, x: model.encode(p, x),
         mean_name="latent_mean", lnvar_name="latent_lnvar",
+        async_writes=True,
     )
 
     def forward(p, x, c, key, training):

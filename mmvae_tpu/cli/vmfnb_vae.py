@@ -120,6 +120,7 @@ def main(argv=None) -> int:
         recorder = LatentRecorder(
             opts.out, topt.max_epoch, data_block.ntot(),
             encode_fn=encode_fn, extra_fn=extra_fn, extra_name="clust",
+            async_writes=True,
         )
     else:
         model = VMFNBVAE(
@@ -144,6 +145,7 @@ def main(argv=None) -> int:
         recorder = LatentRecorder(
             opts.out, topt.max_epoch, data_block.ntot(),
             encode_fn=lambda p, x: model.shared_encode_mu(p, x),
+            async_writes=True,
         )
 
     params = model.init(jax.random.PRNGKey(topt.seed))

@@ -849,6 +849,8 @@ def train_vae_model(
             on_epoch_end(epoch, params, opt_state, loss_vec)
 
     _trace_scope.close()
+    if recorder is not None and hasattr(recorder, "flush"):
+        recorder.flush()  # join background artifact writes
     TLOG("Done training")
     return params, loss_vec
 

@@ -73,6 +73,7 @@ class LatentRecorder:
         extra_fn: Callable | None = None,
         extra_name: str = "clust",
         write_params: bool = True,
+        async_writes: bool = False,
     ):
         self.header = header
         self.max_epoch = max_epoch
@@ -83,6 +84,15 @@ class LatentRecorder:
         self.extra_fn = jax.jit(extra_fn) if extra_fn is not None else None
         self.extra_name = extra_name
         self.write_params = write_params
+        # opt-in: artifact writes run on a background thread, overlapping
+        # the next epochs' compute; callers must flush() before reading
+        # the files (train_vae_model flushes at training end)
+        self._writer = None
+        self._pending: list = []
+        if async_writes:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._writer = ThreadPoolExecutor(max_workers=1)
         self.mean_out = np.zeros((ntot, 0), np.float32)
         self.lnvar_out = np.zeros((ntot, 0), np.float32)
         self.extra_out = np.zeros((ntot, 0), np.float32)
@@ -162,15 +172,35 @@ class LatentRecorder:
 
         return pick(self.mean_out), pick(self.lnvar_out), pick(self.extra_out)
 
+    def _write(self, path: str, arr: np.ndarray) -> None:
+        if self._writer is None:
+            write_data_file(path, arr)
+        else:
+            self._pending.append(self._writer.submit(write_data_file,
+                                                     path, arr))
+
+    def flush(self) -> None:
+        """Wait for (and surface errors from) outstanding async writes."""
+        pending, self._pending = self._pending, []
+        for fut in pending:
+            fut.result()
+
     def update_on_epoch(self, params, epoch: int) -> None:
         mean_out, lnvar_out, extra_out = self._merged()
         if jax.process_index() != 0:
             return  # artifacts are written once, by the primary host
+        self.flush()  # bound the queue and surface earlier write errors
         tag = f"{self.header}_{zeropad(epoch, self.max_epoch)}"
-        write_data_file(f"{tag}.{self.mean_name}.gz", mean_out)
-        write_data_file(f"{tag}.{self.lnvar_name}.gz", lnvar_out)
+        if self._writer is not None:
+            # posterior matrices keep accumulating after this epoch:
+            # snapshot them for the background writer
+            mean_out = mean_out.copy()
+            lnvar_out = lnvar_out.copy()
+            extra_out = extra_out.copy()
+        self._write(f"{tag}.{self.mean_name}.gz", mean_out)
+        self._write(f"{tag}.{self.lnvar_name}.gz", lnvar_out)
         if self.extra_fn is not None:
-            write_data_file(f"{tag}.{self.extra_name}.gz", extra_out)
+            self._write(f"{tag}.{self.extra_name}.gz", extra_out)
         if self.write_params:
             for key, arr in flatten_params(params).items():
-                write_data_file(f"{tag}_{key}.gz", arr)
+                self._write(f"{tag}_{key}.gz", arr)
