@@ -347,3 +347,22 @@ class TestCLI:
         with gzip.open(out + ".scores.gz", "rt") as f:
             scores = [float(v) for v in f.read().split()]
         assert len(scores) == 4  # 2 restored + 2 new
+
+
+class TestDataModes:
+    def test_stream_matches_memory_trajectory(self, train_mtx, tmp_path):
+        """--data_mode stream (the reference's out-of-core path) must
+        produce the same scores as the in-memory/on-device modes —
+        batch contents and the PRNG schedule are mode-invariant."""
+        outs = {}
+        for mode in ("stream", "memory"):
+            out = str(tmp_path / mode)
+            r = _run_cli("mmvae_tpu.cli.nb_vae", [
+                "--mtx", train_mtx, "--out", out, "--max_epoch", "3",
+                "--recording", "3", "--batch_size", "40",
+                "--data_mode", mode,
+            ])
+            assert r.returncode == 0, r.stderr[-2000:]
+            with gzip.open(out + ".scores.gz", "rt") as f:
+                outs[mode] = [float(v) for v in f.read().split()]
+        assert outs["stream"] == outs["memory"]
