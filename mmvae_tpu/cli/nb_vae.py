@@ -93,7 +93,10 @@ def main(argv=None) -> int:
     init_opt_state = None
     prev_losses: list[float] = []
     if topt.resume:
-        opt_state_tmpl = make_optimizer(topt).init(params)
+        # the TP trainer uses the clipless chain; the template must match
+        opt_state_tmpl = make_optimizer(
+            topt, tp=topt.tensor_parallel > 1
+        ).init(params)
         params, init_opt_state, start_epoch, prev_losses = load_checkpoint(
             topt.resume, params, opt_state_tmpl
         )

@@ -42,11 +42,17 @@ from ..utils.profiling import StepTimer, annotate, trace
 from .config import TrainingOptions
 
 
-def make_optimizer(opt: TrainingOptions) -> optax.GradientTransformation:
+def make_optimizer(opt: TrainingOptions,
+                   tp: bool = False) -> optax.GradientTransformation:
     """torch-order Adam: clip -> +wd*param -> Adam(b1=.9,b2=.999,eps=1e-8)
-    (reference: mmvae_alg.hh:234-236, 308-310)."""
+    (reference: mmvae_alg.hh:234-236, 308-310).
+
+    ``tp=True`` omits the local global-norm clip — tensor-parallel
+    training clips against the cross-shard norm inside the step (the
+    checkpoint template must match this structure)."""
+    head = () if tp else (optax.clip_by_global_norm(opt.grad_clip),)
     return optax.chain(
-        optax.clip_by_global_norm(opt.grad_clip),
+        *head,
         optax.add_decayed_weights(opt.weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale(-opt.lr),
@@ -120,17 +126,10 @@ class Trainer:
         self.tp_shard_map = tp_shard_map and mesh is not None
         self._tp_data_dim = data_dim
         self._tp_clip = None
-        if self.tp_shard_map:
-            # global-norm clipping needs a cross-shard norm; strip the
-            # local clip from the chain and apply a TP-aware one in
-            # boot_body (same torch order: clip raw grads, then +wd)
-            self.optimizer = optax.chain(
-                optax.add_decayed_weights(opt.weight_decay),
-                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-                optax.scale(-opt.lr),
-            )
-        else:
-            self.optimizer = make_optimizer(opt)
+        # TP strips the local clip from the chain and applies a
+        # cross-shard global-norm clip in boot_body instead (same torch
+        # order: clip raw grads, then +wd)
+        self.optimizer = make_optimizer(opt, tp=self.tp_shard_map)
         self._x_sharding = None
         self._c_sharding = None
         if mesh is not None:
