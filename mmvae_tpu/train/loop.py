@@ -901,6 +901,22 @@ def _is_all_ones(covar_block) -> bool:
     return bool((probe == 1.0).all())
 
 
+def visit_data(visitor, data_block) -> None:
+    """Model-free whole-dataset sweep (reference: visit_data,
+    mmvae_alg.hh:127-160): batch loop -> read -> visitor.update_on_batch
+    -> clear.  The scaffold behind post-hoc dataset passes that need no
+    parameters (e.g. statistics collectors)."""
+    ntot = data_block.ntot()
+    B = data_block.size()
+    batches = sequential_batches(ntot, B)
+    TLOG(f"Batch size = {B}, Number of batches = {len(batches)}")
+    for batch in batches:
+        data_block.clear()
+        x = data_block.read(batch)
+        visitor.update_on_batch(x, batch)
+    TLOG("Done visit")
+
+
 def visit_vae_model(encode_fn, params, visitor, data_block) -> None:
     """Whole-dataset sweep without training (reference:
     visit_vae_model, mmvae_alg.hh:162-198)."""

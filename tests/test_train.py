@@ -366,3 +366,33 @@ class TestDataModes:
             with gzip.open(out + ".scores.gz", "rt") as f:
                 outs[mode] = [float(v) for v in f.read().split()]
         assert outs["stream"] == outs["memory"]
+
+
+def test_visit_data_sweep(tmp_path):
+    """visit_data: the model-free dataset sweep scaffold
+    (mmvae_alg.hh:127-160)."""
+    from mmvae_tpu.data import MtxMemoryBlock
+    from mmvae_tpu.io.writers import write_matrix_market_file
+    from mmvae_tpu.train.loop import visit_data
+
+    rng = np.random.default_rng(0)
+    dens = rng.poisson(1.0, size=(6, 20)).astype(np.float32)
+    dens[0, ~(dens > 0).any(axis=0)] = 1.0
+    rr, cc = np.nonzero(dens)
+    path = str(tmp_path / "v.mtx.gz")
+    write_matrix_market_file(path, rr, cc, dens[rr, cc], dens.shape)
+    blk = MtxMemoryBlock(path, "", 8)
+
+    class SumVisitor:
+        total = 0.0
+        seen = 0
+
+        def update_on_batch(self, x, batch):
+            ok = batch < dens.shape[1]
+            # wrap-around duplicates: count first visits only
+            self.total += float(x[:np.count_nonzero(ok)].sum())
+            self.seen += 1
+
+    v = SumVisitor()
+    visit_data(v, blk)
+    assert v.seen == 3  # 20 cells / batch 8 -> 3 wrap-around batches
