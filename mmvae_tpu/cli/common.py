@@ -151,7 +151,8 @@ def prepare_blocks(
 
     covar_mtx = opts.covar_mtx
     covar_idx = opts.covar_idx
-    if not covar_mtx or not os.path.exists(covar_mtx):
+    auto_covar = not covar_mtx or not os.path.exists(covar_mtx)
+    if auto_covar:
         covar_mtx = opts.out + ".covar.mtx.gz"
         covar_idx = covar_mtx + ".index"
         if primary:
@@ -168,4 +169,9 @@ def prepare_blocks(
         multihost_utils.sync_global_devices("mmvae:covar")
 
     covar_block = block_type(covar_mtx, covar_idx, B)
+    if auto_covar:
+        # explicit signal for the on-device fast path: this covariate
+        # is the generated constant, not user data (train.loop relies
+        # on this flag, never on content probing)
+        covar_block.auto_ones = True
     return data_block, covar_block

@@ -28,6 +28,31 @@ from ..io import native
 from ..utils.logging import TLOG
 
 
+def narrow_value_dtype(vals=None, stats: dict | None = None):
+    """Narrowest lossless storage dtype for count values.
+
+    Counts are non-negative integers in practice; int8/int16 storage
+    halves-to-quarters HBM/host traffic and widens back to f32
+    bit-exactly.  ``stats`` (from the native reader) avoids scanning
+    ``vals``.  The single source of the int8<=127 / int16<=32767 rule.
+    """
+    if stats is not None:
+        integral = stats["integral"]
+        vmax, vmin = stats["vmax"], stats["vmin"]
+    elif vals is not None and len(vals):
+        vmax = float(vals.max())
+        vmin = float(vals.min())
+        integral = bool(np.all(vals == np.trunc(vals)))
+    else:
+        return np.float32
+    if integral and vmin >= 0.0:
+        if vmax <= 127.0:
+            return np.int8
+        if vmax <= 32767.0:
+            return np.int16
+    return np.float32
+
+
 @dataclass(frozen=True)
 class MemoryBlock:
     """One coalesced read interval (reference: memory_block_t,
@@ -228,18 +253,7 @@ class MtxMemoryBlock:
         # compute paths widen integers to f32 bit-exactly.
         self.val_dtype = np.float32
         if len(self._vals) and (self._stats is not None or self._want_narrow):
-            if self._stats is not None:
-                integral = self._stats["integral"]
-                vmax, vmin = self._stats["vmax"], self._stats["vmin"]
-            else:
-                vmax = float(self._vals.max())
-                vmin = float(self._vals.min())
-                integral = bool(np.all(self._vals == np.trunc(self._vals)))
-            if integral and vmin >= 0.0:
-                if vmax <= 127.0:
-                    self.val_dtype = np.int8
-                elif vmax <= 32767.0:
-                    self.val_dtype = np.int16
+            self.val_dtype = narrow_value_dtype(self._vals, self._stats)
         buf_dtype = self.val_dtype if self._want_narrow else np.float32
         self._mem = np.zeros((self.B, self.D), dtype=buf_dtype)
         TLOG(f"Loaded sparse matrix in memory: {self.D} x {self.N}"

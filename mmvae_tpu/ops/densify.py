@@ -40,14 +40,10 @@ class DeviceCSC:
         # ``val_dtype`` skips the value scan when the caller already
         # knows (MtxMemoryBlock gathers it during its native read).
         if val_dtype is None:
-            val_dtype = np.float32
-            if count_dtype == "auto" and len(vals):
-                vmax, vmin = float(vals.max()), float(vals.min())
-                if (vmin >= 0.0 and np.all(vals == np.trunc(vals))):
-                    if vmax <= 127.0:
-                        val_dtype = np.int8
-                    elif vmax <= 32767.0:
-                        val_dtype = np.int16
+            from ..data.block import narrow_value_dtype
+
+            val_dtype = (narrow_value_dtype(vals)
+                         if count_dtype == "auto" else np.float32)
         counts = np.diff(indptr)
         self.k_max = int(counts.max()) if len(counts) else 0
         from ..io import native

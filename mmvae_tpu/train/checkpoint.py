@@ -53,13 +53,6 @@ def save_checkpoint(
         f"opt/{jax.tree_util.keystr(p)}": np.asarray(l) for p, l in opt_paths
     }
 
-    path = os.path.join(ckpt_dir, "ckpt.npz")
-    # note: np.savez appends ".npz" unless the name already ends with it
-    fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp.npz")
-    os.close(fd)
-    np.savez(tmp, **flat_p, **flat_o)
-    os.replace(tmp, path)
-
     meta = {
         "epoch": epoch,
         "seed": seed,
@@ -67,6 +60,21 @@ def save_checkpoint(
         "opt_treedef": str(opt_treedef),
         "n_opt_leaves": len(opt_paths),
     }
+
+    path = os.path.join(ckpt_dir, "ckpt.npz")
+    # The metadata rides INSIDE the npz so the checkpoint is one atomic
+    # rename — a crash between two file renames could otherwise pair
+    # epoch-N arrays with epoch-(N-1) metadata and silently replay an
+    # epoch on resume.
+    meta_arr = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    # note: np.savez appends ".npz" unless the name already ends with it
+    fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp.npz")
+    os.close(fd)
+    np.savez(tmp, __meta__=meta_arr, **flat_p, **flat_o)
+    os.replace(tmp, path)
+
+    # human-readable convenience copy (never read back when the npz
+    # carries __meta__)
     mpath = os.path.join(ckpt_dir, "meta.json")
     fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".json.tmp")
     with os.fdopen(fd, "w") as f:
@@ -82,8 +90,11 @@ def load_checkpoint(ckpt_dir: str, params_template, opt_state_template):
     ``model.init`` + ``optimizer.init`` before calling).
     """
     data = np.load(os.path.join(ckpt_dir, "ckpt.npz"))
-    with open(os.path.join(ckpt_dir, "meta.json")) as f:
-        meta = json.load(f)
+    if "__meta__" in data.files:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+    else:  # legacy round-1 checkpoints: sidecar json
+        with open(os.path.join(ckpt_dir, "meta.json")) as f:
+            meta = json.load(f)
 
     flat_t = _flatten(params_template)
     params_flat = {}
@@ -137,5 +148,7 @@ def _unflatten_like(template, flat: dict, prefix=""):
             _unflatten_like(v, flat, f"{prefix}{i}/")
             for i, v in enumerate(template)
         ]
+        if hasattr(template, "_fields"):  # namedtuple: positional fields
+            return type(template)(*seq)
         return type(template)(seq)
     return flat[prefix.rstrip("/")]

@@ -891,14 +891,12 @@ def _as_memory_block(block):
 
 
 def _is_all_ones(covar_block) -> bool:
-    """True for the auto-generated 1 x N all-ones covariate
-    (create_ones_like, mmvae_io.hh:293-310)."""
-    if covar_block.nfeature() != 1:
-        return False
-    cols = np.arange(covar_block.size(), dtype=np.int64) % covar_block.ntot()
-    probe = covar_block.read(cols).copy()
-    covar_block.clear()
-    return bool((probe == 1.0).all())
+    """True ONLY for the auto-generated 1 x N all-ones covariate
+    (create_ones_like, mmvae_io.hh:293-310), signalled explicitly by
+    the creator (prepare_blocks sets ``auto_ones``).  A content probe
+    is NOT used: a real covariate whose sampled entries happen to be
+    1.0 must never be silently replaced by a constant."""
+    return bool(getattr(covar_block, "auto_ones", False))
 
 
 def visit_data(visitor, data_block) -> None:

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..io.writers import write_data_file
@@ -110,6 +111,12 @@ class LatentRecorder:
         return mat
 
     def update_on_batch(self, params, x, batch) -> None:
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            # match the training step's precision path: integer batches
+            # are widened before any raw-x matmul (loop._superbatch_step)
+            # so recorded artifacts are dtype/mode-invariant
+            x = x.astype(jnp.float32)
         mean, lnvar = self.encode(params, x)
         mean = np.asarray(mean)
         lnvar = np.asarray(lnvar)
@@ -148,6 +155,9 @@ class LatentRecorder:
             lnvar_out[batch[ok]] = lnvar_all[b][ok]
             if extra_all is not None:
                 extra_out[batch[ok]] = extra_all[b][ok]
+            # keep the last-write counter truthful for these rows too
+            self._stamp[batch[ok]] = self._calls
+            self._calls += 1
 
     def _merged(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Cross-host merge of the posterior matrices.

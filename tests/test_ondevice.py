@@ -22,6 +22,7 @@ def setup(mtx_file, tmp_path):
     create_ones_like(data, cov_path)
     cov_idx = build_mmutil_index(cov_path)
     covar = MtxDataBlock(cov_path, cov_idx, B)
+    covar.auto_ones = True  # as prepare_blocks marks the generated file
     model = NBVAE(data_dim=dens.shape[0], covar_dim=1)
     return data, covar, model
 
@@ -137,6 +138,7 @@ def test_ondevice_dp_matches_host_dp(mtx_file, tmp_path):
     create_ones_like(data, cov_path)
     cov_idx = build_mmutil_index(cov_path)
     covar = MtxMemoryBlock(cov_path, cov_idx, B)
+    covar.auto_ones = True
     model = NBVAE(data_dim=dens.shape[0], covar_dim=1)
 
     def run(ondevice):
