@@ -27,8 +27,7 @@ from ..models.vmf import VMFVAE
 from ..models.vmfnb import VMFNBVAE
 from ..data.pipeline import sequential_batches
 from ..train.checkpoint import load_checkpoint
-from ..train.config import TrainingOptions, _csv_ints
-from ..train.loop import make_optimizer
+from ..train.config import _csv_ints
 from ..data.block import MtxDataBlock
 from ..utils.logging import TLOG
 from .common import prepare_blocks  # noqa: F401  (platform override side effect)
@@ -38,7 +37,8 @@ import os
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", choices=["nb", "vmf", "vmfnb"], default="nb")
+    p.add_argument("--model", choices=["nb", "vmf", "vmfnb", "mixture"],
+                   default="nb")
     p.add_argument("--mtx", required=True)
     p.add_argument("--idx", default="")
     p.add_argument("--checkpoint", required=True)
@@ -54,6 +54,12 @@ def main(argv=None) -> int:
     p.add_argument("--overdisp_encoding", type=int, default=1)
     p.add_argument("--overdisp_latent", type=int, default=1)
     p.add_argument("--relu", dest="do_relu", action="store_true", default=False)
+    # mixture model needs the annotation surface + the recording key
+    p.add_argument("--annot", default="")
+    p.add_argument("--row", default="")
+    p.add_argument("--kappa_min", type=float, default=1.0)
+    p.add_argument("--kappa_max", type=float, default=100.0)
+    p.add_argument("--seed", type=int, default=0)
     ns, _ = p.parse_known_args(argv)
 
     idx = ns.idx or ns.mtx + ".index"
@@ -77,7 +83,7 @@ def main(argv=None) -> int:
                        decoding=tuple(ns.decoding), do_relu=ns.do_relu)
         encode = jax.jit(lambda p, x: model.encode(p, x))
         names = ("latent_mean", "latent_lnvar")
-    else:
+    elif ns.model == "vmfnb":
         model = VMFNBVAE(data_dim=D,
                          mean_encoding=tuple(ns.mean_encoding),
                          mean_decoding=tuple(ns.mean_decoding),
@@ -87,18 +93,51 @@ def main(argv=None) -> int:
                          do_relu=ns.do_relu)
         encode = jax.jit(lambda p, x: model.shared_encode_mu(p, x))
         names = ("mu_mean", "mu_lnvar")
+    else:  # labeled mixture: also writes .clust.gz
+        from ..data.annotation import Annotation
+        from ..models.vmfnb_mixture import VMFNBMixtureVAE
+
+        if not (ns.annot and ns.row):
+            raise ValueError("--model mixture needs --annot and --row")
+        L = Annotation(ns.annot, ns.row).matrix()
+        model = VMFNBMixtureVAE(
+            label=L,
+            mean_encoding=tuple(ns.mean_encoding),
+            mean_decoding=tuple(ns.mean_decoding),
+            mean_latent=ns.mean_latent,
+            overdisp_encoding=ns.overdisp_encoding,
+            overdisp_latent=ns.overdisp_latent,
+            kappa_min=ns.kappa_min, kappa_max=ns.kappa_max,
+            do_relu=ns.do_relu,
+        )
+        # frozen-model recording semantics: hard Gumbel one-hot with the
+        # deterministic seed key (vmfnb_mixture.hh:680-696, 741-795)
+        _rkey = jax.random.PRNGKey(ns.seed)
+
+        def _enc(p, x):
+            vmf = model.vmf_forward(p, x, _rkey, False)
+            return model.nb_encode_mu(p, x, vmf.latent), vmf.latent
+
+        encode_with_clust = jax.jit(_enc)
+        encode = jax.jit(lambda p, x: _enc(p, x)[0])
+        names = ("mu_mean", "mu_lnvar")
 
     params_tmpl = model.init(jax.random.PRNGKey(0))
-    opt_tmpl = make_optimizer(TrainingOptions()).init(params_tmpl)
-    params, _, epoch, _ = load_checkpoint(ns.checkpoint, params_tmpl, opt_tmpl)
+    # params-only load: works for checkpoints from ANY optimizer config
+    params, _, epoch, _ = load_checkpoint(ns.checkpoint, params_tmpl)
     TLOG(f"Loaded checkpoint at epoch {epoch - 1}")
 
     mean_out = None
     lnvar_out = None
+    clust_out = None
     for batch in sequential_batches(N, ns.batch_size):
         db.clear()
         x = db.read(batch)
-        mean, lnvar = encode(params, x)
+        clust = None
+        if ns.model == "mixture":
+            (mean, lnvar), clust = encode_with_clust(params, x)
+        else:
+            mean, lnvar = encode(params, x)
         mean, lnvar = np.asarray(mean), np.asarray(lnvar)
         if mean_out is None:
             mean_out = np.zeros((N, mean.shape[1]), np.float32)
@@ -106,9 +145,16 @@ def main(argv=None) -> int:
         ok = batch < N
         mean_out[batch[ok]] = mean[ok]
         lnvar_out[batch[ok]] = lnvar[ok]
+        if clust is not None:
+            clust = np.asarray(clust)
+            if clust_out is None:
+                clust_out = np.zeros((N, clust.shape[1]), np.float32)
+            clust_out[batch[ok]] = clust[ok]
 
     write_data_file(f"{ns.out}.{names[0]}.gz", mean_out)
     write_data_file(f"{ns.out}.{names[1]}.gz", lnvar_out)
+    if clust_out is not None:
+        write_data_file(f"{ns.out}.clust.gz", clust_out)
     TLOG("Done")
     return 0
 

@@ -117,10 +117,15 @@ def main(argv=None) -> int:
             vmf = model.vmf_forward(p, x, _record_key, False)
             return vmf.latent
 
+        def combined_fn(p, x):
+            # one E-step for both outputs on the host recording path
+            vmf = model.vmf_forward(p, x, _record_key, False)
+            return model.nb_encode_mu(p, x, vmf.latent), vmf.latent
+
         recorder = LatentRecorder(
             opts.out, topt.max_epoch, data_block.ntot(),
             encode_fn=encode_fn, extra_fn=extra_fn, extra_name="clust",
-            async_writes=True,
+            async_writes=True, combined_fn=combined_fn,
         )
     else:
         model = VMFNBVAE(

@@ -164,6 +164,10 @@ class BgzfReader:
         xlen = fields[7]
         if fields[8] == 0x42 and fields[9] == 0x43 and fields[10] == 2:
             bsize = fields[-1] + 1
+            if xlen > 6:
+                # BC-first header with further extra subfields: the
+                # compressed payload starts after ALL of them
+                self._fh.seek(coffset + _BLOCK_HEADER_LEN + xlen - 6)
         else:
             # scan extra subfields for the BC entry (robust to other writers)
             extra = hdr[12:] + self._fh.read(max(0, xlen - 6))

@@ -126,6 +126,25 @@ def read_mmutil_index(index_file: str | os.PathLike) -> np.ndarray:
         head = tab[: max_idx - 1]
         miss = head == MISSING_POS
         head[miss] = tab[1:max_idx][miss]
+    # SAFETY beyond the reference: a run of >=2 consecutive empty
+    # columns leaves MISSING_POS (voffset 0 = file start) after the
+    # single-step fill above; a block read starting there would parse
+    # the MatrixMarket size line as a triplet and silently corrupt the
+    # batch (the reference shares this hole).  Complete the fill with
+    # the next KNOWN offset (backward pass over the original values);
+    # trailing missing entries take the last known offset, yielding an
+    # empty read interval.
+    miss = tab == MISSING_POS
+    if miss.any() and not miss.all():
+        n = len(tab)
+        # first known index >= j (reverse cumulative minimum); positions
+        # past the last known one fall back to the last known offset,
+        # which produces an empty read interval
+        nxt = np.where(miss, n, np.arange(n))
+        nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+        last_known = int(np.flatnonzero(~miss)[-1])
+        src = np.where(nxt < n, np.minimum(nxt, n - 1), last_known)
+        tab = np.where(miss, tab[src], tab)
     return tab
 
 
@@ -140,6 +159,12 @@ def check_index_tab(mtx_file: str | os.PathLike, index_tab: np.ndarray) -> bool:
     nerr = 0
     for j in range(info.cols - 1):
         beg = int(index_tab[j])
+        if beg == MISSING_POS:
+            # voffset 0 never points at data (the header precedes it):
+            # an unresolvable empty column is a warning, like the
+            # reference's read-to-EOF probe concludes
+            WLOG("Found an empty column:", j)
+            continue
         rows, cols, vals = read_mtx_block(mtx_file, beg, beg if beg != LAST_POS else 1)
         found = int(cols[-1]) if len(cols) else -1
         if found > j:

@@ -61,6 +61,17 @@ def _load():
         except OSError:
             return None
 
+        try:
+            _bind(lib)
+        except AttributeError:
+            # stale _native.so missing newer entry points and no working
+            # toolchain to rebuild: fall back to pure Python
+            return None
+        _lib = lib
+        return _lib
+
+
+def _bind(lib) -> None:
         lib.mmvae_free.argtypes = [ctypes.c_void_p]
         lib.mmvae_free.restype = None
         lib.mmvae_peek_header.argtypes = [ctypes.c_char_p, _pi64]
@@ -103,8 +114,6 @@ def _load():
             _pi64, _i64, ctypes.c_void_p, ctypes.c_int,
         ]
         lib.mmvae_dense_fill.restype = None
-        _lib = lib
-        return _lib
 
 
 def available() -> bool:

@@ -86,17 +86,30 @@ def write_matrix_market_file(
         "%%MatrixMarket matrix coordinate integer general\n"
         f"{shape[0]} {shape[1]} {len(vals)}\n"
     )
-    body_lines = [
-        f"{rows[k] + 1} {cols[k] + 1} {_fmt(vals[k])}\n" for k in order
-    ]
-    data = (header + "".join(body_lines)).encode()
+
     if path.endswith(".gz"):
-        w = BgzfWriter(path)
-        w.write(data)
-        w.close()
+        out = BgzfWriter(path)
+        close = out.close
     else:
-        with open(path, "wb") as f:
-            f.write(data)
+        out = open(path, "wb")
+        close = out.close
+    out.write(header.encode())
+    # chunked vectorized formatting (C-level printf per element): a
+    # per-triplet Python loop over ~100M nonzeros costs minutes and a
+    # single in-memory string costs GBs
+    CHUNK = 1 << 20
+    for s in range(0, len(order), CHUNK):
+        k = order[s: s + CHUNK]
+        r_s = np.char.mod("%d", rows[k] + 1)
+        c_s = np.char.mod("%d", cols[k] + 1)
+        v_s = np.char.mod("%g", vals[k])
+        merged = np.char.add(
+            np.char.add(np.char.add(r_s, " "),
+                        np.char.add(c_s, " ")),
+            v_s,
+        )
+        out.write(("\n".join(merged.tolist()) + "\n").encode())
+    close()
 
 
 def _open_text_in(path: str):

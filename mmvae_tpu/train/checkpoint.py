@@ -83,11 +83,15 @@ def save_checkpoint(
     return path
 
 
-def load_checkpoint(ckpt_dir: str, params_template, opt_state_template):
+def load_checkpoint(ckpt_dir: str, params_template, opt_state_template=None):
     """Restore (params, opt_state, next_epoch, loss_vec).
 
     Templates provide the pytree structure (build them with
     ``model.init`` + ``optimizer.init`` before calling).
+    ``opt_state_template=None`` skips optimizer-state reconstruction
+    (returned as None) — for params-only consumers like post-hoc
+    encoding, which must load checkpoints from ANY optimizer
+    configuration (e.g. the clipless tensor-parallel chain).
     """
     data = np.load(os.path.join(ckpt_dir, "ckpt.npz"))
     if "__meta__" in data.files:
@@ -107,6 +111,9 @@ def load_checkpoint(ckpt_dir: str, params_template, opt_state_template):
             )
         params_flat[k] = arr
     params = _unflatten_like(params_template, params_flat)
+
+    if opt_state_template is None:
+        return params, None, meta["epoch"] + 1, list(meta["loss_vec"])
 
     paths_t, treedef = jax.tree_util.tree_flatten_with_path(opt_state_template)
     if meta["n_opt_leaves"] != len(paths_t):

@@ -75,6 +75,7 @@ class LatentRecorder:
         extra_name: str = "clust",
         write_params: bool = True,
         async_writes: bool = False,
+        combined_fn: Callable | None = None,
     ):
         self.header = header
         self.max_epoch = max_epoch
@@ -83,6 +84,12 @@ class LatentRecorder:
         self.mean_name = mean_name
         self.lnvar_name = lnvar_name
         self.extra_fn = jax.jit(extra_fn) if extra_fn is not None else None
+        # optional fused (params, x) -> ((mean, lnvar), extra): one jit
+        # for the host recording path when encode and extra share
+        # expensive work (e.g. the mixture E-step) — the on-device path
+        # gets the same sharing from XLA CSE inside one epoch program
+        self._combined = (jax.jit(combined_fn)
+                          if combined_fn is not None else None)
         self.extra_name = extra_name
         self.write_params = write_params
         # opt-in: artifact writes run on a background thread, overlapping
@@ -117,7 +124,11 @@ class LatentRecorder:
             # are widened before any raw-x matmul (loop._superbatch_step)
             # so recorded artifacts are dtype/mode-invariant
             x = x.astype(jnp.float32)
-        mean, lnvar = self.encode(params, x)
+        extra = None
+        if self._combined is not None and self.extra_fn is not None:
+            (mean, lnvar), extra = self._combined(params, x)
+        else:
+            mean, lnvar = self.encode(params, x)
         mean = np.asarray(mean)
         lnvar = np.asarray(lnvar)
         mean_out = self._ensure("mean_out", mean.shape[1])
@@ -127,7 +138,9 @@ class LatentRecorder:
         mean_out[batch[ok]] = mean[ok]
         lnvar_out[batch[ok]] = lnvar[ok]
         if self.extra_fn is not None:
-            extra = np.asarray(self.extra_fn(params, x))
+            if extra is None:
+                extra = self.extra_fn(params, x)
+            extra = np.asarray(extra)
             extra_out = self._ensure("extra_out", extra.shape[1])
             extra_out[batch[ok]] = extra[ok]
         self._stamp[batch[ok]] = self._calls

@@ -82,3 +82,32 @@ def test_fast_parser_numpy2_and_comments():
 
     r, c, v = parse_triplet_text(b"")
     assert len(r) == 0 and len(c) == 0 and len(v) == 0
+
+
+def test_bgzf_reader_handles_extra_subfields(tmp_path):
+    """BGZF blocks may carry extra gzip subfields after BC; the reader
+    must skip ALL of xlen before the deflate payload (round-2 review:
+    the BC-first fast path ignored trailing subfields)."""
+    import struct
+
+    from mmvae_tpu.io.bgzf import BGZF_EOF, BgzfReader, BgzfWriter
+
+    path = str(tmp_path / "x.gz")
+    w = BgzfWriter(path)
+    payload = b"hello subfields\nsecond line\n"
+    w.write(payload)
+    w.close()
+    raw = open(path, "rb").read()
+    block = raw[: len(raw) - len(BGZF_EOF)]
+    # splice a dummy 'XX' subfield (6 bytes) after the BC subfield
+    xlen = struct.unpack_from("<H", block, 10)[0]
+    assert xlen == 6
+    bsize = struct.unpack_from("<H", block, 16)[0] + 1
+    extra = b"XX" + struct.pack("<H", 2) + b"\x00\x00"
+    mod = bytearray(block[:18] + extra + block[18:])
+    struct.pack_into("<H", mod, 10, xlen + 6)           # new XLEN
+    struct.pack_into("<H", mod, 16, bsize + 6 - 1)      # new BSIZE-1
+    open(path, "wb").write(bytes(mod) + BGZF_EOF)
+
+    with BgzfReader(path) as r:
+        assert r.read_all() == payload

@@ -171,3 +171,35 @@ def test_truncated_bgzf_fails_cleanly(tmp_path):
     open(path, "wb").write(data[: len(data) // 3])
     with pytest.raises(Exception):
         peek_mtx_header(path)
+
+
+def test_consecutive_empty_columns_read_safely(tmp_path):
+    """A run of >=2 interior empty columns used to leave MISSING (0)
+    voffsets after the reference's single-step forward fill; reads then
+    started at the FILE START and parsed the size line as a triplet,
+    silently corrupting batches.  The completed fill must return zeros
+    for the empty columns and exact data elsewhere."""
+    from mmvae_tpu.data import MtxDataBlock
+    from mmvae_tpu.io.writers import write_matrix_market_file
+
+    D, N = 4, 6
+    dens = np.zeros((D, N), np.float32)
+    dens[:, 0] = [1, 0, 2, 0]
+    dens[:, 1] = [0, 3, 0, 0]
+    # columns 2 and 3 empty (interior run of 2)
+    dens[:, 4] = [0, 0, 0, 4]
+    dens[:, 5] = [5, 0, 0, 6]
+    rr, cc = np.nonzero(dens)
+    path = str(tmp_path / "gap.mtx.gz")
+    write_matrix_market_file(path, rr, cc, dens[rr, cc], (D, N))
+    idx = index.build_mmutil_index(path)
+    tab = index.read_mmutil_index(idx)
+    assert not (tab == index.MISSING_POS).any()
+
+    db = MtxDataBlock(path, idx, 6)
+    got = db.read(np.arange(6))
+    assert np.array_equal(got, dens.T)
+    # wrap-around with the empty run and the last column together
+    db.clear()
+    got = db.read(np.array([2, 3, 5, 2, 3, 0]))
+    assert np.array_equal(got, dens[:, [2, 3, 5, 2, 3, 0]].T)

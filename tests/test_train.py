@@ -396,3 +396,60 @@ def test_visit_data_sweep(tmp_path):
     v = SumVisitor()
     visit_data(v, blk)
     assert v.seen == 3  # 20 cells / batch 8 -> 3 wrap-around batches
+
+
+def test_encode_mixture_and_tp_checkpoints(train_mtx, tmp_path):
+    """encode loads checkpoints params-only (works for the clipless
+    --tensor_parallel chain) and supports the labeled mixture,
+    writing the promised .clust.gz (round-2 review findings)."""
+    from mmvae_tpu.io.writers import read_data_file
+
+    # mixture checkpoint -> encode --model mixture
+    rows = str(tmp_path / "rows.txt")
+    annot = str(tmp_path / "annot.txt")
+    with open(rows, "w") as f:
+        for i in range(30):
+            f.write(f"g{i}\n")
+    with open(annot, "w") as f:
+        for i in range(30):
+            f.write(f"g{i} label{i % 2}\n")
+    ckpt = str(tmp_path / "mix_ckpt")
+    r = _run_cli("mmvae_tpu.cli.vmfnb_vae", [
+        "--mtx", train_mtx, "--out", str(tmp_path / "mix"),
+        "--max_epoch", "1", "--batch_size", "40",
+        "--row", rows, "--annot", annot, "--checkpoint_dir", ckpt,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli("mmvae_tpu.cli.encode", [
+        "--model", "mixture", "--mtx", train_mtx,
+        "--checkpoint", ckpt, "--out", str(tmp_path / "menc"),
+        "--batch_size", "40", "--row", rows, "--annot", annot,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    clust = read_data_file(str(tmp_path / "menc.clust.gz"))
+    assert clust.shape == (80, 2)
+    assert np.array_equal(np.sort(clust, axis=1),
+                          np.tile([0.0, 1.0], (80, 1)))  # one-hot
+
+    # TP checkpoint (clipless optimizer chain) -> params-only encode
+    ckpt2 = str(tmp_path / "tp_ckpt")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "mmvae_tpu.cli.nb_vae",
+         "--mtx", train_mtx, "--out", str(tmp_path / "tp"),
+         "--max_epoch", "1", "--batch_size", "40",
+         "--tensor_parallel", "2", "--checkpoint_dir", ckpt2],
+        env=env, cwd="/root/repo", capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli("mmvae_tpu.cli.encode", [
+        "--model", "nb", "--mtx", train_mtx,
+        "--checkpoint", ckpt2, "--out", str(tmp_path / "tenc"),
+        "--batch_size", "40",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    enc = read_data_file(str(tmp_path / "tenc.mu_mean.gz"))
+    assert enc.shape == (80, 2) and np.isfinite(enc).all()
