@@ -323,7 +323,13 @@ int64_t mmvae_read_csc(const char *path, int64_t ncols,
     bool integral = true;
     double vmax = 0.0, vmin = 0.0;
     bool first_val = true;
+    int64_t meter = 0;  // progress meter (reference: io_alg.hh:149-158)
     while (in.getline(line)) {
+        if (++meter % 10000000 == 0) {
+            fprintf(stderr, "\rread %lldM nonzeros",
+                    (long long)(meter / 1000000));
+            fflush(stderr);
+        }
         if (line.empty() || line[0] == '%') continue;
         int64_t r, c;
         double w;
@@ -360,6 +366,7 @@ int64_t mmvae_read_csc(const char *path, int64_t ncols,
         if (integral && (w < 0.0 || w != (double)(int64_t)w)) integral = false;
     }
     if (run > kmax) kmax = run;
+    if (meter >= 10000000) fprintf(stderr, "\n");
     for (int64_t c = 0; c < ncols; ++c) indptr[c + 1] += indptr[c];
 
     int64_t n = (int64_t)rows.size();
