@@ -354,7 +354,11 @@ class Trainer:
                 def scan_body(carry, b):
                     params, opt_state = carry
                     cols = (b * B + jnp.arange(B, dtype=jnp.int32)) % ntot
-                    if dense_mode:
+                    if dense_mode and ntot % B == 0:
+                        # wrap-free schedule: contiguous rows — a slice
+                        # beats a general row gather
+                        x = jax.lax.dynamic_slice_in_dim(data, b * B, B, 0)
+                    elif dense_mode:
                         x = jnp.take(data, cols, axis=0)
                     else:
                         x = densify_ell(data[0], data[1], cols, D)
