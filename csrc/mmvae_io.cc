@@ -325,12 +325,12 @@ int64_t mmvae_read_csc(const char *path, int64_t ncols,
     bool first_val = true;
     int64_t meter = 0;  // progress meter (reference: io_alg.hh:149-158)
     while (in.getline(line)) {
+        if (line.empty() || line[0] == '%') continue;
         if (++meter % 10000000 == 0) {
             fprintf(stderr, "\rread %lldM nonzeros",
                     (long long)(meter / 1000000));
             fflush(stderr);
         }
-        if (line.empty() || line[0] == '%') continue;
         int64_t r, c;
         double w;
         if (!parse_triplet(line.c_str(), line.c_str() + line.size(), r, c, w))

@@ -100,6 +100,10 @@ def main(argv=None) -> int:
         if not (ns.annot and ns.row):
             raise ValueError("--model mixture needs --annot and --row")
         L = Annotation(ns.annot, ns.row).matrix()
+        if L.shape[0] != D:
+            raise ValueError(
+                f"annotation covers {L.shape[0]} features but data has {D}"
+            )
         model = VMFNBMixtureVAE(
             label=L,
             mean_encoding=tuple(ns.mean_encoding),
@@ -119,7 +123,7 @@ def main(argv=None) -> int:
             return model.nb_encode_mu(p, x, vmf.latent), vmf.latent
 
         encode_with_clust = jax.jit(_enc)
-        encode = jax.jit(lambda p, x: _enc(p, x)[0])
+        encode = None  # the batch loop always uses encode_with_clust here
         names = ("mu_mean", "mu_lnvar")
 
     params_tmpl = model.init(jax.random.PRNGKey(0))

@@ -87,29 +87,26 @@ def write_matrix_market_file(
         f"{shape[0]} {shape[1]} {len(vals)}\n"
     )
 
-    if path.endswith(".gz"):
-        out = BgzfWriter(path)
-        close = out.close
-    else:
-        out = open(path, "wb")
-        close = out.close
-    out.write(header.encode())
-    # chunked vectorized formatting (C-level printf per element): a
-    # per-triplet Python loop over ~100M nonzeros costs minutes and a
-    # single in-memory string costs GBs
-    CHUNK = 1 << 20
-    for s in range(0, len(order), CHUNK):
-        k = order[s: s + CHUNK]
-        r_s = np.char.mod("%d", rows[k] + 1)
-        c_s = np.char.mod("%d", cols[k] + 1)
-        v_s = np.char.mod("%g", vals[k])
-        merged = np.char.add(
-            np.char.add(np.char.add(r_s, " "),
-                        np.char.add(c_s, " ")),
-            v_s,
-        )
-        out.write(("\n".join(merged.tolist()) + "\n").encode())
-    close()
+    out = BgzfWriter(path) if path.endswith(".gz") else open(path, "wb")
+    try:
+        out.write(header.encode())
+        # chunked vectorized formatting (C-level printf per element): a
+        # per-triplet Python loop over ~100M nonzeros costs minutes and
+        # a single in-memory string costs GBs
+        CHUNK = 1 << 20
+        for s in range(0, len(order), CHUNK):
+            k = order[s: s + CHUNK]
+            r_s = np.char.mod("%d", rows[k] + 1)
+            c_s = np.char.mod("%d", cols[k] + 1)
+            v_s = np.char.mod("%g", vals[k])
+            merged = np.char.add(
+                np.char.add(np.char.add(r_s, " "),
+                            np.char.add(c_s, " ")),
+                v_s,
+            )
+            out.write(("\n".join(merged.tolist()) + "\n").encode())
+    finally:
+        out.close()
 
 
 def _open_text_in(path: str):

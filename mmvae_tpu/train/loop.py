@@ -630,9 +630,15 @@ def train_vae_model(
     # device-major row shard).
     B_global = B * host_count
     if host_count > 1:
+        from jax.experimental import multihost_utils as _mhu
+
         from ..io import native as _native
 
-        _mh_dense_ok = _native.available()
+        # ALL hosts must agree on the code path (mismatched collective
+        # programs deadlock the mesh): all-gather the local capability
+        # and take the minimum
+        _ok = np.array([1 if _native.available() else 0])
+        _mh_dense_ok = bool(np.min(np.asarray(_mhu.process_allgather(_ok))))
     else:
         _mh_dense_ok = True
     dp_ondevice_ok = (

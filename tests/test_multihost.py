@@ -89,7 +89,8 @@ def test_two_process_cli_end_to_end(mtx_file, tmp_path):
              "--mtx", path, "--out", out, "--max_epoch", "2",
              "--recording", "2", "--batch_size", "24",
              "--superbatch", "2"] + extra_args,
-            env=env_for(extra_env), cwd="/root/repo",
+            env=env_for(extra_env),
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
 
@@ -159,7 +160,8 @@ def test_two_process_dp_ondevice_matches_single(mtx_file, tmp_path):
              "--mtx", path, "--out", out, "--max_epoch", "2",
              "--recording", "100", "--batch_size", "24",
              "--superbatch", "2", "--dp_shard"] + extra,
-            env=env_for(ndev), cwd="/root/repo",
+            env=env_for(ndev),
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
 

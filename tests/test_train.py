@@ -442,7 +442,8 @@ def test_encode_mixture_and_tp_checkpoints(train_mtx, tmp_path):
          "--mtx", train_mtx, "--out", str(tmp_path / "tp"),
          "--max_epoch", "1", "--batch_size", "40",
          "--tensor_parallel", "2", "--checkpoint_dir", ckpt2],
-        env=env, cwd="/root/repo", capture_output=True, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(
+            __file__))), capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     r = _run_cli("mmvae_tpu.cli.encode", [
