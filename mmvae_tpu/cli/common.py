@@ -41,7 +41,7 @@ from ..data.block import MtxDataBlock, MtxMemoryBlock, create_ones_like
 from ..io.index import build_mmutil_index
 from ..io.mtx import peek_mtx_header
 from ..train.config import MMVaeOptions, TrainingOptions
-from ..utils.logging import TLOG
+from ..utils.logging import TLOG, WLOG
 
 # auto data-mode threshold: hold the CSC arrays in host RAM when the
 # estimated footprint stays below this (overridable via env)
@@ -60,6 +60,19 @@ def compose_parsers(description: str, model_group) -> argparse.ArgumentParser:
     g = p.add_argument_group("model")
     model_group(g)
     return p
+
+
+def warn_unknown_args(unknown) -> None:
+    """Warn (stderr) about command-line flags no option group claims.
+
+    The reference's composable parsers each silently skip the other
+    groups' flags — but ``compose_parsers`` merges every group into ONE
+    parser, so anything left over here is a genuine typo (e.g.
+    ``--epochs`` for ``--epoch``) that would otherwise silently train
+    with defaults.  Kept a warning, not an error, to preserve the
+    reference's tolerant parsing contract."""
+    if unknown:
+        WLOG("ignoring unrecognized arguments:", " ".join(unknown))
 
 
 def add_relu_flags(g) -> None:

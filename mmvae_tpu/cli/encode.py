@@ -31,6 +31,7 @@ from ..train.config import _csv_ints
 from ..data.block import MtxDataBlock
 from ..utils.logging import TLOG
 from .common import prepare_blocks  # noqa: F401  (platform override side effect)
+from .common import warn_unknown_args
 
 import os
 
@@ -60,7 +61,8 @@ def main(argv=None) -> int:
     p.add_argument("--kappa_min", type=float, default=1.0)
     p.add_argument("--kappa_max", type=float, default=100.0)
     p.add_argument("--seed", type=int, default=0)
-    ns, _ = p.parse_known_args(argv)
+    ns, _unknown = p.parse_known_args(argv)
+    warn_unknown_args(_unknown)
 
     idx = ns.idx or ns.mtx + ".index"
     if not os.path.exists(idx):

@@ -26,6 +26,7 @@ from .common import (
     host_role,
     multihost_setup,
     prepare_blocks,
+    warn_unknown_args,
 )
 
 _MODEL_DESC = r"""[Likelihood]
@@ -58,6 +59,7 @@ def _model_args(g) -> None:
 def main(argv=None) -> int:
     parser = compose_parsers(_MODEL_DESC, _model_args)
     ns, _unknown = parser.parse_known_args(argv)
+    warn_unknown_args(_unknown)
 
     opts = MMVaeOptions.from_args(ns)
     topt = TrainingOptions.from_args(ns)

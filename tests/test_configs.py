@@ -114,3 +114,25 @@ class TestDataParallel:
         with gzip.open(out + ".scores.gz", "rt") as f:
             scores = [float(v) for v in f.read().split()]
         assert len(scores) == 2 and all(np.isfinite(scores))
+
+
+def test_unknown_flags_warn_but_parse(capsys):
+    """compose_parsers knows every option group, so leftover flags are
+    typos; the CLIs warn on stderr instead of silently dropping them
+    (e.g. ``--epochs`` for ``--epoch`` training 101 default epochs)."""
+    from mmvae_tpu.cli.common import compose_parsers, warn_unknown_args
+    from mmvae_tpu.cli.nb_vae import _model_args
+
+    p = compose_parsers("t", _model_args)
+    ns, unknown = p.parse_known_args(
+        ["--mtx", "x.mtx.gz", "--epochs", "3"])
+    assert unknown == ["--epochs", "3"]
+    assert ns.max_epoch == 101  # the typo did NOT set the real flag
+    warn_unknown_args(unknown)
+    err = capsys.readouterr().err
+    assert "unrecognized" in err and "--epochs" in err
+    # known-flags path stays silent
+    ns2, unknown2 = p.parse_known_args(["--mtx", "x.mtx.gz", "--epoch", "3"])
+    assert unknown2 == [] and ns2.max_epoch == 3
+    warn_unknown_args(unknown2)
+    assert capsys.readouterr().err == ""
