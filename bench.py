@@ -43,6 +43,8 @@ def main() -> None:
     S = 64           # minibatches per dispatch (amortizes the ~2.3ms tunnel dispatch gap; saturates by 64)
     NBOOT = 3
 
+    from mmvae_tpu.ops.nb_fast import NBFastStep
+
     model = NBVAE(data_dim=D, covar_dim=1, mean_latent=2)
     params = model.init(jax.random.PRNGKey(0))
 
@@ -62,6 +64,9 @@ def main() -> None:
         boot_loss_override=lambda p, x, c, k, b: model.fused_step_boot(
             p, x, c, k, b
         ),
+        # v3 packed-parameter step (ops/nb_fast.py): batch-hoisted
+        # encoder, packed optimizer, int16-native counts
+        fast_step=NBFastStep(model, topt),
     )
     opt_state = trainer.optimizer.init(params)
 

@@ -161,6 +161,15 @@ def main(argv=None) -> int:
                 model.fused_step_boot(p, x, c, k, b)
             ),
         )
+        # v3 packed-parameter step (ops/nb_fast.py) on top of the v2
+        # kernels: batch-hoisted encoder + fused optimizer updates
+        from ..ops.nb_fast import NBFastStep
+
+        if NBFastStep.supports(model):
+            fused_kw["fast_step"] = NBFastStep(
+                model, topt,
+                kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
+            )
     elif topt.fused:
         fused_kw = dict(
             report_loss_override=lambda p, x, c, k, b: model.fused_loss(

@@ -1,0 +1,402 @@
+"""v3 NB-VAE step path: packed parameters + batch-hoisted encoder algebra.
+
+Profiling the v2 step (ops/nb_step.py kernels inside the generic
+Trainer) on a v5e shows ~45% of every batch is XLA glue around the three
+Pallas kernels: four encoder/reparameterization chains, ~60 small
+per-leaf optimizer fusions, and the scheduling gaps between ~160 tiny
+ops.  This module removes that glue while keeping the reference
+semantics (include/mmvae_alg.hh:277-311) exactly:
+
+- **Packed parameters.**  Every D-sized parameter row lives in ONE
+  stacked (K, D) float32 matrix ``P`` and every small parameter in one
+  flat vector ``sv``; the optax chain (clip -> weight decay -> Adam ->
+  lr) runs on this two-leaf pytree, so a boot update is ~6 fusions
+  instead of ~60.  Elementwise optimizer math is layout-invariant, so
+  trajectories are unchanged (the global-norm clip reassociates its
+  sum; measured drift is in the documented golden band).
+- **Batch-hoisted encoder algebra.**  The learned standardization
+  (nb.hh:312-319) factors as ``xn @ W = L @ (W / sd) - (x_mean / sd^T W)``
+  with ``L = log1p(x)`` parameter-independent: ``L`` (and the raw-count
+  ``xf`` used by the nu/depth heads, nb.hh:444-451, 498) is materialized
+  once per batch and each boot's encoder collapses to two slim MXU
+  matmuls — no per-boot (B, D) elementwise traffic, no per-boot widening
+  of the int16 count tensor.
+- **Gather commutation.**  Bootstrap resampling gathers rows of the
+  (B, latent) encoder outputs instead of rows of the (B, D) data for
+  everything except the likelihood kernels: ``(L[ridx] @ W) ==
+  (L @ W)[ridx]`` exactly (row-independent dot products), so only the
+  int16 ``x`` itself is gathered per boot (half the bytes of the f32
+  gather it replaces).
+
+The likelihood/gradient heavy lifting stays in the v2 single-pass
+Pallas kernels (ops/nb_step.py).  Valid for the reference's default
+architecture (no mu hidden layers: direct D->R encoder, nb.hh:342-349,
+and direct R->D decoder, nb.hh:364-379); callers must check
+:meth:`NBFastStep.supports` and fall back to the generic path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .losses import gaussian_kl, kl_weight_schedule
+from .nb_step import nb_step_boot, nb_step_report
+
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+@dataclass(frozen=True)
+class _Rows:
+    """Row indices of the packed (K, D) parameter matrix."""
+
+    R: int
+    C: int
+    H: int
+    Rn: int
+
+    @property
+    def mu_dec_w(self):  # (R, D)
+        return slice(0, self.R)
+
+    @property
+    def cov_dec_w(self):  # (C, D)
+        return slice(self.R, self.R + self.C)
+
+    @property
+    def mu_dec_b(self):
+        return self.R + self.C
+
+    @property
+    def cov_dec_b(self):
+        return self.R + self.C + 1
+
+    @property
+    def mu_bias(self):
+        return self.R + self.C + 2
+
+    @property
+    def nu_dec_w(self):  # (Rn, D)
+        a = self.R + self.C + 3
+        return slice(a, a + self.Rn)
+
+    @property
+    def nu_dec_b(self):
+        return self.R + self.C + 3 + self.Rn
+
+    @property
+    def nu_bias(self):
+        return self.R + self.C + 4 + self.Rn
+
+    @property
+    def x_mean(self):
+        return self.R + self.C + 5 + self.Rn
+
+    @property
+    def ln_x_sd(self):
+        return self.R + self.C + 6 + self.Rn
+
+    @property
+    def mu_enc_w(self):  # (R, D) — transposed storage
+        a = self.R + self.C + 7 + self.Rn
+        return slice(a, a + self.R)
+
+    @property
+    def nu_enc_w(self):  # (H, D) — transposed storage
+        a = self.R + self.C + 7 + self.Rn + self.R
+        return slice(a, a + self.H)
+
+    @property
+    def depth_w(self):  # (1, D) — transposed storage
+        return self.R + self.C + 7 + self.Rn + self.R + self.H
+
+    @property
+    def K(self):
+        return self.R + self.C + 8 + self.Rn + self.R + self.H
+
+
+class NBFastStep:
+    """Packed-parameter fused step for :class:`~mmvae_tpu.models.nb.NBVAE`.
+
+    Converts between the model's named parameter dict (artifact /
+    checkpoint surface) and the packed `{P: (K, D), sv: (n,)}` compute
+    layout, and runs the whole reference batch step — reporting forward
+    plus ``nboot`` bootstrap Adam steps — on the packed representation.
+    """
+
+    def __init__(self, model, opt, kl=(1.0, 1e-2, 0.1)):
+        assert self.supports(model), (
+            "NBFastStep requires the direct (no hidden layer) NB "
+            "architecture"
+        )
+        self.model = model
+        self.opt = opt
+        self.kl_max, self.kl_min, self.kl_discount = kl
+        self.rows = _Rows(
+            R=model.mean_latent,
+            C=model.covar_dim,
+            H=model.overdisp_encoding,
+            Rn=model.overdisp_latent,
+        )
+        # small-vector segment table: name -> (offset, shape)
+        self._sv_segs, self._sv_len = self._build_sv_layout()
+        self.optimizer = _make_packed_optimizer(opt)
+
+    @staticmethod
+    def supports(model) -> bool:
+        from ..models.nb import NBVAE
+
+        return (
+            isinstance(model, NBVAE)
+            and not model.mean_encoding
+            and not model.mean_decoding
+        )
+
+    # ------------------------------------------------------------------
+    # layout
+    # ------------------------------------------------------------------
+    def _build_sv_layout(self):
+        R, C, H, Rn = (self.rows.R, self.rows.C, self.rows.H, self.rows.Rn)
+        segs = {}
+        off = 0
+        for name, shape in [
+            ("mu_encoding.bias", (R,)),
+            ("covar_encoding.weight", (C, R)),
+            ("covar_encoding.bias", (R,)),
+            ("mu_representation_mean.weight", (R, R)),
+            ("mu_representation_mean.bias", (R,)),
+            ("mu_representation_logvariance.weight", (R, R)),
+            ("mu_representation_logvariance.bias", (R,)),
+            ("nu_encoding.bias", (H,)),
+            ("nu_representation_mean.weight", (H, Rn)),
+            ("nu_representation_mean.bias", (Rn,)),
+            ("nu_representation_logvariance.weight", (H, Rn)),
+            ("nu_representation_logvariance.bias", (Rn,)),
+            ("depth.bias", (1,)),
+        ]:
+            n = 1
+            for s in shape:
+                n *= s
+            segs[name] = (off, shape)
+            off += n
+        return segs, off
+
+    # ------------------------------------------------------------------
+    # pack / unpack (work on params AND on Adam-moment trees, which share
+    # the params' structure — elementwise moments pack identically)
+    # ------------------------------------------------------------------
+    def pack(self, t: dict) -> dict:
+        r = self.rows
+        rows = [
+            t["mu_decoding"]["weight"],            # (R, D)
+            t["covar_decoding"]["weight"],         # (C, D)
+            t["mu_decoding"]["bias"][None, :],
+            t["covar_decoding"]["bias"][None, :],
+            t["mu_bias"],                          # (1, D)
+            t["nu_decoding"]["weight"],            # (Rn, D)
+            t["nu_decoding"]["bias"][None, :],
+            t["nu_bias"],
+            t["x_mean"],
+            t["ln_x_sd"],
+            t["mu_encoding"]["weight"].T,          # (R, D)
+            t["nu_encoding"]["weight"].T,          # (H, D)
+            t["depth"]["weight"].T,                # (1, D)
+        ]
+        P = jnp.concatenate(rows, axis=0)
+        assert P.shape[0] == r.K
+        sv_parts = []
+        for name in self._sv_segs:
+            top, leaf = name.split(".")
+            sv_parts.append(jnp.ravel(t[top][leaf]))
+        sv = jnp.concatenate(sv_parts)
+        return {"P": P, "sv": sv}
+
+    def unpack(self, q: dict) -> dict:
+        P, sv = q["P"], q["sv"]
+        r = self.rows
+        out = {
+            "x_mean": P[r.x_mean][None, :],
+            "ln_x_sd": P[r.ln_x_sd][None, :],
+            "mu_bias": P[r.mu_bias][None, :],
+            "nu_bias": P[r.nu_bias][None, :],
+            "mu_decoding": {
+                "weight": P[r.mu_dec_w],
+                "bias": P[r.mu_dec_b],
+            },
+            "covar_decoding": {
+                "weight": P[r.cov_dec_w],
+                "bias": P[r.cov_dec_b],
+            },
+            "nu_decoding": {
+                "weight": P[r.nu_dec_w],
+                "bias": P[r.nu_dec_b],
+            },
+            "mu_encoding": {"weight": P[r.mu_enc_w].T},
+            "nu_encoding": {"weight": P[r.nu_enc_w].T},
+            "depth": {"weight": P[r.depth_w][:, None]},
+        }
+        for name, (off, shape) in self._sv_segs.items():
+            top, leaf = name.split(".")
+            n = 1
+            for s in shape:
+                n *= s
+            out.setdefault(top, {})[leaf] = jnp.reshape(
+                sv[off:off + n], shape
+            )
+        return out
+
+    # adam-state conversion: the chain is (clip, wd, adam, lr); only the
+    # ScaleByAdamState's mu/nu trees are params-shaped
+    def pack_opt_state(self, opt_state):
+        adam = opt_state[2]
+        packed = adam._replace(mu=self.pack(adam.mu), nu=self.pack(adam.nu))
+        return tuple(opt_state[:2]) + (packed,) + tuple(opt_state[3:])
+
+    def unpack_opt_state(self, opt_state):
+        adam = opt_state[2]
+        named = adam._replace(
+            mu=self.unpack(adam.mu), nu=self.unpack(adam.nu)
+        )
+        return tuple(opt_state[:2]) + (named,) + tuple(opt_state[3:])
+
+    # ------------------------------------------------------------------
+    # compute
+    # ------------------------------------------------------------------
+    def _sv(self, sv, name):
+        off, shape = self._sv_segs[name]
+        n = 1
+        for s in shape:
+            n *= s
+        return jnp.reshape(sv[off:off + n], shape)
+
+    def _heads(self, q, L, xf, c):
+        """Encoder heads for ALL B rows of the batch (pre-gather).
+
+        Semantics == NBVAE.encode_mu/encode_nu + the depth head
+        (nb.hh:403-431, 444-451, 498) via the hoisted-L factorization.
+        """
+        P, sv = q["P"], q["sv"]
+        r = self.rows
+        sd = _softplus(P[r.ln_x_sd]) + 1e-4                # (D,)
+        Wt = P[r.mu_enc_w] / sd                            # (R, D)
+        h = L @ Wt.T - P[r.x_mean] @ Wt.T                  # (B, R)
+        h = h + self._sv(sv, "mu_encoding.bias")
+        if self.model.do_relu:
+            h = jax.nn.relu(h)
+        mu_mean = (
+            h @ self._sv(sv, "mu_representation_mean.weight")
+            + self._sv(sv, "mu_representation_mean.bias")
+            + c @ self._sv(sv, "covar_encoding.weight")
+            + self._sv(sv, "covar_encoding.bias")
+        )
+        mu_lnvar = jnp.clip(
+            h @ self._sv(sv, "mu_representation_logvariance.weight")
+            + self._sv(sv, "mu_representation_logvariance.bias"),
+            -4.0, 4.0,
+        )
+        nu_h = xf @ P[r.nu_enc_w].T + self._sv(sv, "nu_encoding.bias")
+        nu_mean = (
+            nu_h @ self._sv(sv, "nu_representation_mean.weight")
+            + self._sv(sv, "nu_representation_mean.bias")
+        )
+        nu_lnvar = jnp.clip(
+            nu_h @ self._sv(sv, "nu_representation_logvariance.weight")
+            + self._sv(sv, "nu_representation_logvariance.bias"),
+            -4.0, 4.0,
+        )
+        depth = _softplus(
+            xf @ P[r.depth_w][:, None] + self._sv(sv, "depth.bias")
+        )                                                  # (B, 1)
+        return mu_mean, mu_lnvar, nu_mean, nu_lnvar, depth
+
+    def _kernel_rows(self, P):
+        r = self.rows
+        wd = P[r.mu_dec_w]
+        wc = P[r.cov_dec_w]
+        bias2 = P[r.mu_dec_b] + P[r.cov_dec_b] + P[r.mu_bias]
+        wn = P[r.nu_dec_w]
+        bias_n = P[r.nu_dec_b] - P[r.nu_bias]
+        return wd, wc, bias2, wn, bias_n
+
+    @staticmethod
+    def _reparam(key, mean, lnvar):
+        sig = jnp.exp(lnvar / 2.0)
+        eps = jax.random.normal(key, lnvar.shape, lnvar.dtype)
+        return mean + eps * sig
+
+    def _loss(self, q, L, xf, x, c, ridx, key, beta, include_const,
+              boot: bool):
+        heads = self._heads(q, L, xf, c)
+        if ridx is not None:
+            heads = tuple(jnp.take(t, ridx, axis=0) for t in heads)
+            x = jnp.take(x, ridx, axis=0)
+            c = jnp.take(c, ridx, axis=0)
+        mu_mean, mu_lnvar, nu_mean, nu_lnvar, depth = heads
+        k_mu, k_nu = jax.random.split(key)
+        z_mu = self._reparam(k_mu, mu_mean, mu_lnvar)
+        z_nu = self._reparam(k_nu, nu_mean, nu_lnvar)
+        kl = gaussian_kl(mu_mean, mu_lnvar) + gaussian_kl(nu_mean, nu_lnvar)
+        wd, wc, bias2, wn, bias_n = self._kernel_rows(q["P"])
+        step_fn = nb_step_boot if boot else (
+            lambda *a: nb_step_report(*a, include_const=include_const)
+        )
+        nll = step_fn(x, z_mu, c, z_nu, depth, wd, wc, bias2, wn, bias_n)
+        return (nll + beta * kl) / x.shape[0]
+
+    # ------------------------------------------------------------------
+    def batch_step(self, q, opt_state, x, c, epoch_f, key,
+                   axis_name=None):
+        """One reference batch step on packed state: reporting forward +
+        nboot bootstrap-resampled Adam steps (mmvae_alg.hh:277-311)."""
+        beta = kl_weight_schedule(
+            epoch_f, self.kl_max, self.kl_min, self.kl_discount
+        )
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k_rep, k_boot = jax.random.split(key)
+        B = x.shape[0]
+
+        L = jnp.log1p(x.astype(jnp.float32))
+        xf = x.astype(jnp.float32)
+
+        report = self._loss(q, L, xf, x, c, None, k_rep, beta,
+                            include_const=True, boot=False)
+        if axis_name is not None:
+            report = jax.lax.pmean(report, axis_name)
+
+        def boot_body(i, carry):
+            q, opt_state = carry
+            kb = jax.random.fold_in(k_boot, i)
+            k_idx, k_fwd = jax.random.split(kb)
+            ridx = jax.random.randint(k_idx, (B,), 0, B)
+            grads = jax.grad(
+                lambda qq: self._loss(qq, L, xf, x, c, ridx, k_fwd, beta,
+                                      include_const=False, boot=True)
+            )(q)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = self.optimizer.update(
+                grads, opt_state, q
+            )
+            q = optax.apply_updates(q, updates)
+            return q, opt_state
+
+        q, opt_state = jax.lax.fori_loop(
+            0, self.opt.nboot, boot_body, (q, opt_state)
+        )
+        return q, opt_state, report
+
+
+def _make_packed_optimizer(opt) -> optax.GradientTransformation:
+    """Same chain as train.loop.make_optimizer, over the packed pytree."""
+    return optax.chain(
+        optax.clip_by_global_norm(opt.grad_clip),
+        optax.add_decayed_weights(opt.weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-opt.lr),
+    )

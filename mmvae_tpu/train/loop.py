@@ -103,6 +103,7 @@ class Trainer:
         dp_shard_map: bool = False,
         tp_shard_map: bool = False,
         data_dim: int | None = None,
+        fast_step=None,
     ):
         self.forward = forward
         self.loss_fn = loss_fn
@@ -124,6 +125,12 @@ class Trainer:
         # sharded over 'model' (kernel-aware TP, SURVEY §5.7).  The
         # loss overrides must be TP-aware (model.fused_step_*_tp).
         self.tp_shard_map = tp_shard_map and mesh is not None
+        # v3 packed-parameter step (ops/nb_fast.py): not composable with
+        # kernel-aware TP (which shards the named leaves)
+        self.fast = fast_step if not tp_shard_map else None
+        if self.fast is not None:
+            # single source of truth for the annealing constants
+            self.fast.kl_max, self.fast.kl_min, self.fast.kl_discount = kl
         self._tp_data_dim = data_dim
         self._tp_clip = None
         # TP strips the local clip from the chain and applies a
@@ -145,6 +152,8 @@ class Trainer:
             else:
                 self._x_sharding = batch_sharding(mesh)
                 self._c_sharding = self._x_sharding
+        sb_step = (self._superbatch_step_fast if self.fast is not None
+                   else self._superbatch_step)
         if self.tp_shard_map:
             self._step = None  # built lazily: specs need the pytrees
         elif self.dp_shard_map:
@@ -153,7 +162,7 @@ class Trainer:
             import functools
 
             step = jax.shard_map(
-                functools.partial(self._superbatch_step, axis_name="data"),
+                functools.partial(sb_step, axis_name="data"),
                 mesh=mesh,
                 in_specs=(P(), P(), P(None, "data"), P(None, "data"),
                           P(), P(), P()),
@@ -162,8 +171,7 @@ class Trainer:
             )
             self._step = jax.jit(step, donate_argnums=(0, 1))
         else:
-            self._step = jax.jit(self._superbatch_step,
-                                 donate_argnums=(0, 1))
+            self._step = jax.jit(sb_step, donate_argnums=(0, 1))
         self._base_key = jax.random.PRNGKey(opt.seed)
 
     def _build_tp_step(self, params, opt_state):
@@ -306,6 +314,35 @@ class Trainer:
         )
         return params, opt_state, reports
 
+    def _superbatch_step_fast(
+        self, params, opt_state, x_sb, c_sb, epoch_f, batch_ids, base_key,
+        axis_name=None,
+    ):
+        """Superbatch step on the v3 packed representation: the named
+        params/opt-state convert to the packed layout ONCE per dispatch
+        (cheap row concats), the scan runs entirely packed, and the
+        boundary conversion restores the external structures — the
+        checkpoint / recorder / artifact surface never sees the packed
+        form."""
+        fast = self.fast
+        ekey = jax.random.fold_in(base_key, jnp.asarray(epoch_f, jnp.int32))
+        q = fast.pack(params)
+        po = fast.pack_opt_state(opt_state)
+
+        def scan_body(carry, inp):
+            q, po = carry
+            x, c, b_id = inp
+            key = jax.random.fold_in(ekey, b_id)
+            q, po, report = fast.batch_step(
+                q, po, x, c, epoch_f, key, axis_name=axis_name
+            )
+            return (q, po), report
+
+        (q, po), reports = jax.lax.scan(
+            scan_body, (q, po), (x_sb, c_sb, batch_ids)
+        )
+        return fast.unpack(q), fast.unpack_opt_state(po), reports
+
     # ------------------------------------------------------------------
     def make_ondevice_epoch(self, data_csc, covar_csc, ntot: int, B: int,
                             covar_dim: int = 1, encode_fn=None,
@@ -345,14 +382,21 @@ class Trainer:
         )
         dense_mode = data_dense is not None
 
+        fast = self.fast
+
         def make_epoch_fn(record: bool):
             def epoch_fn(params, opt_state, epoch_f, base_key,
                          data, covar):
                 ekey = jax.random.fold_in(base_key,
                                           jnp.asarray(epoch_f, jnp.int32))
+                if fast is not None:
+                    carry0 = (fast.pack(params),
+                              fast.pack_opt_state(opt_state))
+                else:
+                    carry0 = (params, opt_state)
 
                 def scan_body(carry, b):
-                    params, opt_state = carry
+                    st, opt_st = carry
                     cols = (b * B + jnp.arange(B, dtype=jnp.int32)) % ntot
                     if dense_mode and ntot % B == 0:
                         # wrap-free schedule: contiguous rows — a slice
@@ -362,7 +406,10 @@ class Trainer:
                         x = jnp.take(data, cols, axis=0)
                     else:
                         x = densify_ell(data[0], data[1], cols, D)
-                    if jnp.issubdtype(x.dtype, jnp.integer):
+                    if fast is None and jnp.issubdtype(x.dtype,
+                                                      jnp.integer):
+                        # the fast path widens narrow counts inside its
+                        # own fused ops; the generic path widens here
                         x = x.astype(jnp.float32)
                     if covar is not None:
                         c = densify_ell(covar[0], covar[1], cols, Dc)
@@ -371,25 +418,37 @@ class Trainer:
                     else:
                         c = jnp.ones((B, covar_dim), jnp.float32)
                     key = jax.random.fold_in(ekey, b)
-                    params, opt_state, rep = self._batch_step(
-                        params, opt_state, x, c, epoch_f, key
-                    )
+                    if fast is not None:
+                        st, opt_st, rep = fast.batch_step(
+                            st, opt_st, x, c, epoch_f, key
+                        )
+                    else:
+                        st, opt_st, rep = self._batch_step(
+                            st, opt_st, x, c, epoch_f, key
+                        )
                     out = rep
                     if record:
                         # latent posterior right after this batch's
                         # updates — same observation point as the host
                         # path's recorder (mmvae_alg.hh:315-317)
-                        enc = encode_fn(params, x)
-                        extra = (extra_fn(params, x)
+                        p_rec = fast.unpack(st) if fast is not None else st
+                        xr = (x.astype(jnp.float32)
+                              if jnp.issubdtype(x.dtype, jnp.integer)
+                              else x)
+                        enc = encode_fn(p_rec, xr)
+                        extra = (extra_fn(p_rec, xr)
                                  if extra_fn is not None else jnp.zeros(()))
                         out = (rep, enc, extra)
-                    return (params, opt_state), out
+                    return (st, opt_st), out
 
-                (params, opt_state), outs = jax.lax.scan(
-                    scan_body, (params, opt_state),
+                (st, opt_st), outs = jax.lax.scan(
+                    scan_body, carry0,
                     jnp.arange(nbatch, dtype=jnp.int32),
                 )
-                return params, opt_state, outs
+                if fast is not None:
+                    return (fast.unpack(st),
+                            fast.unpack_opt_state(opt_st), outs)
+                return st, opt_st, outs
 
             return epoch_fn
 
@@ -436,35 +495,52 @@ class Trainer:
         nbatch = ntot // B
         Bl = B // ndev
 
+        fast = self.fast
+
         def epoch_fn(record: bool, params, opt_state, epoch_f, base_key,
                      data):
             ekey = jax.random.fold_in(base_key,
                                       jnp.asarray(epoch_f, jnp.int32))
+            if fast is not None:
+                carry0 = (fast.pack(params), fast.pack_opt_state(opt_state))
+            else:
+                carry0 = (params, opt_state)
 
             def scan_body(carry, b):
-                params, opt_state = carry
+                st, opt_st = carry
                 x = jax.lax.dynamic_slice_in_dim(data, b * Bl, Bl, 0)
-                if jnp.issubdtype(x.dtype, jnp.integer):
+                if fast is None and jnp.issubdtype(x.dtype, jnp.integer):
                     x = x.astype(jnp.float32)
                 c = jnp.ones((Bl, covar_dim), jnp.float32)
                 key = jax.random.fold_in(ekey, b)
-                params, opt_state, rep = self._batch_step(
-                    params, opt_state, x, c, epoch_f, key,
-                    axis_name="data",
-                )
+                if fast is not None:
+                    st, opt_st, rep = fast.batch_step(
+                        st, opt_st, x, c, epoch_f, key, axis_name="data"
+                    )
+                else:
+                    st, opt_st, rep = self._batch_step(
+                        st, opt_st, x, c, epoch_f, key,
+                        axis_name="data",
+                    )
                 out = rep
                 if record:
-                    enc = encode_fn(params, x)
-                    extra = (extra_fn(params, x)
+                    p_rec = fast.unpack(st) if fast is not None else st
+                    xr = (x.astype(jnp.float32)
+                          if jnp.issubdtype(x.dtype, jnp.integer) else x)
+                    enc = encode_fn(p_rec, xr)
+                    extra = (extra_fn(p_rec, xr)
                              if extra_fn is not None else jnp.zeros(()))
                     out = (rep, enc, extra)
-                return (params, opt_state), out
+                return (st, opt_st), out
 
-            (params, opt_state), outs = jax.lax.scan(
-                scan_body, (params, opt_state),
+            (st, opt_st), outs = jax.lax.scan(
+                scan_body, carry0,
                 jnp.arange(nbatch, dtype=jnp.int32),
             )
-            return params, opt_state, outs
+            if fast is not None:
+                return (fast.unpack(st), fast.unpack_opt_state(opt_st),
+                        outs)
+            return st, opt_st, outs
 
         def build(record: bool):
             out_rep = P()
@@ -560,6 +636,7 @@ def train_vae_model(
     dp_shard_map: bool = False,
     tp_shard_map: bool = False,
     data_dim: int | None = None,
+    fast_step=None,
     metrics_path: str | None = None,
     ondevice: bool = False,
     host_count: int = 1,
@@ -605,7 +682,8 @@ def train_vae_model(
                       boot_loss_override=boot_loss_override,
                       dp_shard_map=dp_shard_map,
                       tp_shard_map=tp_shard_map,
-                      data_dim=data_dim)
+                      data_dim=data_dim,
+                      fast_step=fast_step)
     params = init_params
     opt_state = (
         init_opt_state
