@@ -74,3 +74,18 @@ def global_batch_array(sharding, local_rows: np.ndarray):
     given (batch-sharded) sharding.  Used by ``Trainer._put`` for every
     multi-host input transfer."""
     return jax.make_array_from_process_local_data(sharding, local_rows)
+
+
+def local_rows(arr, axis: int = 1) -> np.ndarray:
+    """This host's contiguous rows of a globally sharded array.
+
+    Inverse of :func:`global_batch_array` for OUTPUTS: a multi-host
+    recording epoch returns posteriors sharded over ``axis`` (the batch
+    axis); each host fetches only its addressable shards — which cover a
+    contiguous slice matching its :func:`sharded_batches` schedule — and
+    ingests them into its local recorder (the cross-host merge happens
+    in ``LatentRecorder._merged``)."""
+    arr = jax.numpy.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[axis].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=axis)

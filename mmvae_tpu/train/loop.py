@@ -59,6 +59,21 @@ def make_optimizer(opt: TrainingOptions,
     )
 
 
+def _record_outputs(record_fns, params, x):
+    """(enc, extra) scan outputs for a recording superbatch step.
+
+    The inputs pass through an optimization barrier so the recording
+    encode compiles as its own island: without it XLA CSE fuses the
+    encode into the training forward and perturbs the training math at
+    1 ulp, breaking the bitwise trajectory equality between recording
+    and non-recording epochs (and across device layouts)."""
+    encode_fn, extra_fn = record_fns
+    params, x = jax.lax.optimization_barrier((params, x))
+    enc = encode_fn(params, x)
+    extra = extra_fn(params, x) if extra_fn is not None else jnp.zeros(())
+    return (enc, extra)
+
+
 class Trainer:
     """Compiles and runs the per-superbatch training step.
 
@@ -172,6 +187,7 @@ class Trainer:
             self._step = jax.jit(step, donate_argnums=(0, 1))
         else:
             self._step = jax.jit(sb_step, donate_argnums=(0, 1))
+        self._step_rec = None  # recording variant, built on first use
         self._base_key = jax.random.PRNGKey(opt.seed)
 
     def _build_tp_step(self, params, opt_state):
@@ -289,7 +305,7 @@ class Trainer:
 
     def _superbatch_step(
         self, params, opt_state, x_sb, c_sb, epoch_f, batch_ids, base_key,
-        axis_name=None,
+        axis_name=None, record_fns=None,
     ):
         ekey = jax.random.fold_in(base_key, jnp.asarray(epoch_f, jnp.int32))
         # integer count batches ride the host->device link narrow (int8/
@@ -307,7 +323,12 @@ class Trainer:
             params, opt_state, report = self._batch_step(
                 params, opt_state, x, c, epoch_f, key, axis_name=axis_name
             )
-            return (params, opt_state), report
+            out = report
+            if record_fns is not None:
+                # posterior right after this batch's updates — the
+                # recorder's observation point (mmvae_alg.hh:315-317)
+                out = (report,) + _record_outputs(record_fns, params, x)
+            return (params, opt_state), out
 
         (params, opt_state), reports = jax.lax.scan(
             scan_body, (params, opt_state), (x_sb, c_sb, batch_ids)
@@ -316,7 +337,7 @@ class Trainer:
 
     def _superbatch_step_fast(
         self, params, opt_state, x_sb, c_sb, epoch_f, batch_ids, base_key,
-        axis_name=None,
+        axis_name=None, record_fns=None,
     ):
         """Superbatch step on the v3 packed representation: the named
         params/opt-state convert to the packed layout ONCE per dispatch
@@ -336,7 +357,14 @@ class Trainer:
             q, po, report = fast.batch_step(
                 q, po, x, c, epoch_f, key, axis_name=axis_name
             )
-            return (q, po), report
+            out = report
+            if record_fns is not None:
+                xw = (x.astype(jnp.float32)
+                      if jnp.issubdtype(x.dtype, jnp.integer) else x)
+                out = (report,) + _record_outputs(
+                    record_fns, fast.unpack(q), xw
+                )
+            return (q, po), out
 
         (q, po), reports = jax.lax.scan(
             scan_body, (q, po), (x_sb, c_sb, batch_ids)
@@ -435,6 +463,10 @@ class Trainer:
                         xr = (x.astype(jnp.float32)
                               if jnp.issubdtype(x.dtype, jnp.integer)
                               else x)
+                        # barrier: keep the record encode out of the
+                        # train step's fusion (see _record_outputs)
+                        p_rec, xr = jax.lax.optimization_barrier(
+                            (p_rec, xr))
                         enc = encode_fn(p_rec, xr)
                         extra = (extra_fn(p_rec, xr)
                                  if extra_fn is not None else jnp.zeros(()))
@@ -527,6 +559,9 @@ class Trainer:
                     p_rec = fast.unpack(st) if fast is not None else st
                     xr = (x.astype(jnp.float32)
                           if jnp.issubdtype(x.dtype, jnp.integer) else x)
+                    # barrier: keep the record encode out of the train
+                    # step's fusion (see _record_outputs)
+                    p_rec, xr = jax.lax.optimization_barrier((p_rec, xr))
                     enc = encode_fn(p_rec, xr)
                     extra = (extra_fn(p_rec, xr)
                              if extra_fn is not None else jnp.zeros(()))
@@ -578,10 +613,10 @@ class Trainer:
             return fn(params, opt_state, jnp.float32(epoch),
                       self._base_key, data_sharded)
 
-        # recording collects globally-sharded scan outputs, which a
-        # single process cannot fetch in multi-host runs — recording
-        # epochs fall back to the host loop there
-        run.can_record = encode_fn is not None and jax.process_count() == 1
+        # multi-host recording: each host fetches its local shard of the
+        # scan outputs (parallel.multihost.local_rows) and the recorder's
+        # cross-host merge assembles the full matrices at write time
+        run.can_record = encode_fn is not None
         return run
 
     # ------------------------------------------------------------------
@@ -607,6 +642,84 @@ class Trainer:
         if self._step is None:  # TP mode builds specs from the pytrees
             self._build_tp_step(params, opt_state)
         return self._step(
+            params,
+            opt_state,
+            self._put(x_sb),
+            self._put(c_sb, covar=True),
+            jnp.float32(epoch),
+            jnp.asarray(batch_ids, jnp.int32),
+            self._base_key,
+        )
+
+    def can_step_record(self) -> bool:
+        """Whether the recording superbatch step is available.  Only the
+        TP path keeps the per-batch recorder (its record outputs are
+        feature-sharded structures).  Multi-host callers fetch their
+        local rows via ``parallel.multihost.local_rows``.  NOTE: the
+        in-scan encode may reassociate vs a differently-partitioned run
+        at ~1e-6 — training trajectories stay bitwise-equal across
+        layouts, posterior artifacts are equal to float precision."""
+        return not self.tp_shard_map
+
+    def step_record(self, params, opt_state, x_sb, c_sb, epoch, batch_ids,
+                    encode_fn, extra_fn=None):
+        """Recording variant of :meth:`step`: additionally returns the
+        per-batch (mean, lnvar) posteriors (and ``extra_fn`` outputs) as
+        scan outputs, so a recording epoch costs one dispatch per
+        superbatch instead of one per batch (reference observation
+        order preserved: the posterior is taken right after each
+        batch's boot updates, mmvae_alg.hh:315-317)."""
+        assert self.can_step_record()
+        if self._step_rec is None:
+            import functools
+
+            sb_step = (self._superbatch_step_fast if self.fast is not None
+                       else self._superbatch_step)
+            record_fns = (encode_fn, extra_fn)
+            if self.dp_shard_map:
+                from jax.sharding import PartitionSpec as P
+
+                extra_spec = (P(None, "data", None)
+                              if extra_fn is not None else P())
+                step = jax.shard_map(
+                    functools.partial(sb_step, axis_name="data",
+                                      record_fns=record_fns),
+                    mesh=self.mesh,
+                    in_specs=(P(), P(), P(None, "data"), P(None, "data"),
+                              P(), P(), P()),
+                    out_specs=(P(), P(),
+                               (P(), (P(None, "data", None),
+                                      P(None, "data", None)),
+                                extra_spec)),
+                    check_vma=False,
+                )
+                self._step_rec = jax.jit(step, donate_argnums=(0, 1))
+            else:
+                stepped = functools.partial(sb_step,
+                                            record_fns=record_fns)
+                if self.mesh is not None:
+                    # SPMD: pin the record outputs to the batch axis so
+                    # multi-host fetches see one contiguous row range
+                    # per host (parallel.multihost.local_rows)
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    ns = NamedSharding(self.mesh, P(None, "data", None))
+
+                    def stepped(*args, _inner=stepped):
+                        p, o, (rep, enc, extra) = _inner(*args)
+                        enc = tuple(
+                            jax.lax.with_sharding_constraint(e, ns)
+                            for e in enc
+                        )
+                        if extra_fn is not None:
+                            extra = jax.lax.with_sharding_constraint(
+                                extra, ns
+                            )
+                        return p, o, (rep, enc, extra)
+
+                self._step_rec = jax.jit(stepped, donate_argnums=(0, 1))
+        return self._step_rec(
             params,
             opt_state,
             self._put(x_sb),
@@ -848,6 +961,14 @@ def train_vae_model(
                 )
             if record_now:
                 rep, enc, extra = out
+                if jax.process_count() > 1:
+                    # fetch only this host's rows; `batches` is already
+                    # the host-local schedule (sharded_batches)
+                    from ..parallel.multihost import local_rows
+
+                    enc = (local_rows(enc[0]), local_rows(enc[1]))
+                    if recorder.extra_fn is not None:
+                        extra = local_rows(extra)
                 recorder.ingest(batches, enc,
                                 extra if recorder.extra_fn is not None
                                 else None)
@@ -870,11 +991,15 @@ def train_vae_model(
                 on_epoch_end(epoch, params, opt_state, loss_vec)
             continue
 
-        # On recording epochs fall back to one batch per dispatch so the
-        # recorder sees the model state right after each batch's updates,
-        # matching the reference's per-batch recording order
-        # (mmvae_alg.hh:315-317).
-        S_eff = 1 if (recording_now and recorder is not None) else S
+        # Recording epochs: when the superbatch record step is available
+        # (single host, no TP) the posteriors ride as scan outputs of the
+        # jitted step — recording costs like training.  Otherwise fall
+        # back to one batch per dispatch so the recorder sees the model
+        # right after each batch's updates (mmvae_alg.hh:315-317).
+        fast_record = (recording_now and recorder is not None
+                       and trainer.can_step_record())
+        S_eff = 1 if (recording_now and recorder is not None
+                      and not fast_record) else S
 
         loader = PrefetchLoader(data_block, covar_block, batches,
                                 depth=2 * S_eff)
@@ -889,11 +1014,33 @@ def train_vae_model(
                 x_sb = np.stack([b[1] for b in buf])
                 c_sb = np.stack([b[2] for b in buf])
                 ids = np.arange(counter, counter + len(buf))
-                params, opt_state, rep = trainer.step(
-                    params, opt_state, x_sb, c_sb, epoch, ids
-                )
+                if fast_record:
+                    params, opt_state, (rep, enc, extra) = (
+                        trainer.step_record(
+                            params, opt_state, x_sb, c_sb, epoch, ids,
+                            recorder.encode, recorder.extra_fn,
+                        )
+                    )
+                else:
+                    params, opt_state, rep = trainer.step(
+                        params, opt_state, x_sb, c_sb, epoch, ids
+                    )
                 reports.append(rep)
-            if recording_now and recorder is not None:
+            if fast_record:
+                with timer.phase("record"):
+                    extra = (extra if recorder.extra_fn is not None
+                             else None)
+                    if jax.process_count() > 1:
+                        # each host ingests its own rows; `buf` already
+                        # carries the host-local batch slices
+                        from ..parallel.multihost import local_rows
+
+                        enc = (local_rows(enc[0]), local_rows(enc[1]))
+                        if extra is not None:
+                            extra = local_rows(extra)
+                    recorder.ingest(np.stack([b[0] for b in buf]), enc,
+                                    extra)
+            elif recording_now and recorder is not None:
                 with timer.phase("record"):
                     for bidx, x, _ in buf:
                         recorder.update_on_batch(params, x, bidx)

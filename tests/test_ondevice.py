@@ -160,3 +160,47 @@ def test_ondevice_dp_matches_host_dp(mtx_file, tmp_path):
                     jax.tree_util.tree_leaves(p_dev)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_superbatch_record_matches_perbatch(setup, tmp_path, monkeypatch):
+    """The scan-collected recording path (Trainer.step_record) writes the
+    same artifacts as the legacy one-batch-per-dispatch recorder loop."""
+    import gzip
+
+    from mmvae_tpu.train.loop import Trainer
+    from mmvae_tpu.train.recorder import LatentRecorder
+
+    data, covar, model = setup
+
+    def run(tag, force_slow):
+        if force_slow:
+            monkeypatch.setattr(Trainer, "can_step_record",
+                                lambda self: False)
+        else:
+            monkeypatch.undo()
+        topt = TrainingOptions(nboot=2, max_epoch=2, recording=1,
+                               superbatch=3, seed=0,
+                               auto_ondevice=False)
+        params = model.init(jax.random.PRNGKey(0))
+        rec = LatentRecorder(
+            str(tmp_path / tag), topt.max_epoch, data.ntot(),
+            encode_fn=lambda p, x: model.encode_mu(p, x),
+            write_params=False,
+        )
+        train_vae_model(
+            lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+            rec, data, covar, topt,
+            lambda x, out, beta: nb_loss(x, out, beta),
+            params, ondevice=False,
+        )
+
+        def load(name):
+            f = tmp_path / f"{tag}_1.{name}.gz"
+            return np.loadtxt(gzip.open(f, "rt"))
+
+        return load("mu_mean"), load("mu_lnvar")
+
+    ms, ls = run("slowrec", True)
+    mf, lf = run("fastrec", False)
+    np.testing.assert_allclose(mf, ms, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(lf, ls, rtol=1e-5, atol=1e-7)
