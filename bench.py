@@ -62,7 +62,7 @@ def main() -> None:
             p, x, c, k, b, include_data_const=True
         ),
         boot_loss_override=lambda p, x, c, k, b: model.fused_step_boot(
-            p, x, c, k, b
+            p, x, c, k, b, need_value=False
         ),
         # v3 packed-parameter step (ops/nb_fast.py): batch-hoisted
         # encoder, packed optimizer, int16-native counts

@@ -128,13 +128,20 @@ def main(argv=None) -> int:
                 "(direct mu decoder, --fused_step)"
             )
         mesh = make_mesh(model_parallel=tp)
-        tp_kw = dict(tp_shard_map=True, data_dim=D)
+        tp_kw = dict(tp_shard_map=True, data_dim=D,
+                     tp_param_pspecs=model.tp_pspecs(params))
     elif topt.data_parallel or topt.dp_shard or host_kw:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
 
     TLOG("Training the model...")
+    if jax.process_index() == 0:
+        # reference parity: model->pretty_print(std::cerr) at train
+        # start (mmvae_alg.hh:238)
+        from ..utils.summary import pretty_print
+
+        pretty_print(model, params)
     # Fused kernel paths (default): --no_fused_step drops to the v1
     # fused ELBO kernel (decoder + likelihood in one Pallas kernel);
     # --no_fused falls back to plain XLA.  The v2 single-pass step
@@ -148,7 +155,7 @@ def main(argv=None) -> int:
                 model.fused_step_report_tp(p, x, c, k, b)
             ),
             boot_loss_override=lambda p, x, c, k, b: (
-                model.fused_step_boot_tp(p, x, c, k, b)
+                model.fused_step_boot_tp(p, x, c, k, b, need_value=False)
             ),
         )
     elif topt.fused and topt.fused_step and model._can_fuse_step():
@@ -158,7 +165,7 @@ def main(argv=None) -> int:
                                         include_data_const=True)
             ),
             boot_loss_override=lambda p, x, c, k, b: (
-                model.fused_step_boot(p, x, c, k, b)
+                model.fused_step_boot(p, x, c, k, b, need_value=False)
             ),
         )
         # v3 packed-parameter step (ops/nb_fast.py) on top of the v2

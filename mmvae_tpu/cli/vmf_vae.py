@@ -54,11 +54,6 @@ def main(argv=None) -> int:
     topt = TrainingOptions.from_args(ns)
     topt.apply_runtime_config()
 
-    if topt.tensor_parallel > 1:
-        raise ValueError(
-            "--tensor_parallel currently covers nb_vae (the fused "
-            "NB step kernels); use --data_parallel/--dp_shard here"
-        )
     local_b, host_kw = multihost_setup(opts, topt)
     data_block, covar_block = prepare_blocks(opts, local_batch=local_b)
 
@@ -89,7 +84,10 @@ def main(argv=None) -> int:
     init_opt_state = None
     prev_losses: list[float] = []
     if topt.resume:
-        opt_state_tmpl = make_optimizer(topt).init(params)
+        # the TP trainer uses the clipless chain; the template must match
+        opt_state_tmpl = make_optimizer(
+            topt, tp=topt.tensor_parallel > 1
+        ).init(params)
         params, init_opt_state, start_epoch, prev_losses = load_checkpoint(
             topt.resume, params, opt_state_tmpl
         )
@@ -103,11 +101,42 @@ def main(argv=None) -> int:
                             prev_losses + losses)
 
     mesh = None
-    if topt.data_parallel or topt.dp_shard or host_kw:
+    tp_kw = {}
+    fused_kw = {}
+    tp = max(1, topt.tensor_parallel)
+    if tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        D = data_block.nfeature()
+        if D % tp:
+            raise ValueError(
+                f"--tensor_parallel {tp} must divide the feature dim {D}"
+            )
+        mesh = make_mesh(model_parallel=tp)
+        tp_kw = dict(tp_shard_map=True, data_dim=D,
+                     tp_param_pspecs=model.tp_pspecs(params))
+        # the vMF model is all-XLA: TP is sharded linear algebra with
+        # psum'd norms (models/vmf.py tp_step_loss), one loss for both
+        # the report and the boot pass
+        fused_kw = dict(
+            report_loss_override=lambda p, x, c, k, b: (
+                model.tp_step_loss(p, x, c, k, b)
+            ),
+            boot_loss_override=lambda p, x, c, k, b: (
+                model.tp_step_loss(p, x, c, k, b)
+            ),
+        )
+    elif topt.data_parallel or topt.dp_shard or host_kw:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
 
+    if _primary:
+        # reference parity: model->pretty_print(std::cerr) at train
+        # start (mmvae_alg.hh:238)
+        from ..utils.summary import pretty_print
+
+        pretty_print(model, params)
     params, scores = train_vae_model(
         forward, recorder, data_block, covar_block, topt,
         lambda x, out, beta: vmf_loss(x, out, beta),
@@ -120,7 +149,9 @@ def main(argv=None) -> int:
         on_epoch_end=on_epoch_end,
         metrics_path=(opts.out + ".metrics.jsonl") if _primary else None,
         ondevice=topt.ondevice,
+        **fused_kw,
         **host_kw,
+        **tp_kw,
     )
 
     if _primary:

@@ -65,11 +65,6 @@ def main(argv=None) -> int:
     topt = TrainingOptions.from_args(ns)
     topt.apply_runtime_config()
 
-    if topt.tensor_parallel > 1:
-        raise ValueError(
-            "--tensor_parallel currently covers nb_vae (the fused "
-            "NB step kernels); use --data_parallel/--dp_shard here"
-        )
     local_b, host_kw = multihost_setup(opts, topt)
     data_block, covar_block = prepare_blocks(opts, local_batch=local_b)
     D = data_block.nfeature()
@@ -161,7 +156,10 @@ def main(argv=None) -> int:
     init_opt_state = None
     prev_losses: list[float] = []
     if topt.resume:
-        opt_state_tmpl = make_optimizer(topt).init(params)
+        # the TP trainer uses the clipless chain; the template must match
+        opt_state_tmpl = make_optimizer(
+            topt, tp=topt.tensor_parallel > 1
+        ).init(params)
         params, init_opt_state, start_epoch, prev_losses = load_checkpoint(
             topt.resume, params, opt_state_tmpl
         )
@@ -175,7 +173,24 @@ def main(argv=None) -> int:
                             prev_losses + losses)
 
     mesh = None
-    if topt.data_parallel or topt.dp_shard or host_kw:
+    tp_kw = {}
+    tp = max(1, topt.tensor_parallel)
+    if tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        if D % tp:
+            raise ValueError(
+                f"--tensor_parallel {tp} must divide the feature dim {D}"
+            )
+        if not (topt.fused and topt.fused_step and model._can_fuse_step()):
+            raise ValueError(
+                "--tensor_parallel needs the fused step path "
+                "(direct mu decoder, --fused_step)"
+            )
+        mesh = make_mesh(model_parallel=tp)
+        tp_kw = dict(tp_shard_map=True, data_dim=D,
+                     tp_param_pspecs=model.tp_pspecs(params))
+    elif topt.data_parallel or topt.dp_shard or host_kw:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
@@ -185,17 +200,34 @@ def main(argv=None) -> int:
     # of ops/nb_step.py); the vMF half stays in XLA.  --no_fused_step
     # opts out; hidden mu decoders fall back automatically.
     fused_kw = {}
-    if topt.fused and topt.fused_step and model._can_fuse_step():
+    if tp_kw:
+        # TP-aware fused step: D-sharded joint kernels + sharded vMF
+        # (works for both the joint and the mixture model)
+        fused_kw = dict(
+            report_loss_override=lambda p, x, c, k, b: (
+                model.fused_step_report_tp(p, x, c, k, b)
+            ),
+            boot_loss_override=lambda p, x, c, k, b: (
+                model.fused_step_boot_tp(p, x, c, k, b, need_value=False)
+            ),
+        )
+    elif topt.fused and topt.fused_step and model._can_fuse_step():
         fused_kw = dict(
             report_loss_override=lambda p, x, c, k, b: (
                 model.fused_step_report(p, x, c, k, b,
                                         include_data_const=True)
             ),
             boot_loss_override=lambda p, x, c, k, b: (
-                model.fused_step_boot(p, x, c, k, b)
+                model.fused_step_boot(p, x, c, k, b, need_value=False)
             ),
         )
 
+    if _primary:
+        # reference parity: model->pretty_print(std::cerr) at train
+        # start (mmvae_alg.hh:238)
+        from ..utils.summary import pretty_print
+
+        pretty_print(model, params)
     params, scores = train_vae_model(
         forward, recorder, data_block, covar_block, topt, loss_fn, params,
         kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
@@ -208,6 +240,7 @@ def main(argv=None) -> int:
         ondevice=topt.ondevice,
         **fused_kw,
         **host_kw,
+        **tp_kw,
     )
 
     if _primary:

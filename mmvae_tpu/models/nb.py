@@ -282,15 +282,22 @@ class NBVAE:
         n = x.shape[0]
         return (nll + beta * pre["kl"]) / n
 
-    def fused_step_boot(self, params, x, c, key, beta):
-        """Boot-step loss via the fused value+grad kernel."""
-        from ..ops.nb_step import nb_step_boot
+    def fused_step_boot(self, params, x, c, key, beta,
+                        need_value: bool = True):
+        """Boot-step loss via the fused value+grad kernel.
+
+        ``need_value=False`` (hot path: the trainer consumes only
+        ``jax.grad`` of this) uses the grad-only kernel, which skips the
+        primal's lgamma/log ops and returns only ``beta*kl/n`` plus a
+        zero NLL — the gradient is identical."""
+        from ..ops.nb_step import nb_step_boot, nb_step_boot_gradonly
 
         if not self._can_fuse_step():
             return self.fused_loss(params, jnp.asarray(x, jnp.float32), c,
                                    key, beta, True, include_data_const=False)
         pre = self._step_prelude(params, x, c, key)
-        nll = nb_step_boot(
+        step = nb_step_boot if need_value else nb_step_boot_gradonly
+        nll = step(
             x, pre["z_mu"], c, pre["z_nu"], pre["depth"],
             pre["wd"], pre["wc"], pre["bias2"], pre["wn"], pre["bias_n"],
         )
@@ -304,6 +311,32 @@ class NBVAE:
     # partial matmuls + psum; the step kernels run on local D slices
     # with their normalizer/row reductions psum'd (ops/nb_step.py).
     # ------------------------------------------------------------------
+    def tp_pspecs(self, params: dict):
+        """Name-aware TP PartitionSpecs: the feature-axis position of
+        every parameter is known from its NAME (the dict keys double as
+        the reference's artifact names), so hidden widths equal to D
+        cannot be mis-sharded (unlike the size heuristic of
+        parallel.mesh.tree_pspecs)."""
+        from jax.sharding import PartitionSpec as P
+
+        row = {self._enc_names()[0], "nu_encoding", "depth"}  # (D, *) weight
+        col = {"mu_decoding", "covar_decoding", "nu_decoding"}  # (*, D)
+        flat = {"x_mean", "ln_x_sd", "mu_bias", "nu_bias"}  # (1, D)
+
+        def spec_for(name, val):
+            if name in flat:
+                return P(None, "model")
+            if name in row:
+                # (D, H) weight rows; Angular layers carry no bias
+                return {k: (P("model", None) if k == "weight" else P())
+                        for k in val}
+            if name in col:
+                return {k: (P(None, "model") if k == "weight"
+                            else P("model")) for k in val}
+            return jax.tree_util.tree_map(lambda _: P(), val)
+
+        return {k: spec_for(k, v) for k, v in params.items()}
+
     def _tp_first_linear(self, p, xn, model_axis):
         """D-sharded Linear: local partial product, psum, replicated
         bias added once.  Identity-gradient psum: under
@@ -386,12 +419,13 @@ class NBVAE:
         return (nll + beta * pre["kl"]) / n
 
     def fused_step_boot_tp(self, params, x, c, key, beta,
-                           model_axis="model"):
-        from ..ops.nb_step import nb_step_boot_tp
+                           model_axis="model", need_value: bool = True):
+        from ..ops.nb_step import nb_step_boot_tp, nb_step_boot_tp_gradonly
 
         assert self._can_fuse_step(), "TP fused step needs a direct decoder"
         pre = self._tp_step_prelude(params, x, c, key, model_axis)
-        nll = nb_step_boot_tp(
+        step = nb_step_boot_tp if need_value else nb_step_boot_tp_gradonly
+        nll = step(
             model_axis, x, pre["z_mu"], c, pre["z_nu"], pre["depth"],
             pre["wd"], pre["wc"], pre["bias2"], pre["wn"], pre["bias_n"],
         )

@@ -137,3 +137,119 @@ class VMFVAE:
             jnp.exp(params["ln_kappa"]), self.kappa_min, self.kappa_max
         )
         return VMFVAEOutput(recon, mean, lnvar, kappa)
+
+    # ------------------------------------------------------------------
+    # Tensor-parallel step (SURVEY §5.7): D sharded over 'model'.  The
+    # whole model is XLA (no Pallas kernel), so TP is pure sharded
+    # linear algebra: the Angular first layer's per-unit weight norms
+    # and the partial matmul psum over the axis; the decoder is
+    # column-parallel with a psum'd row L2 norm; kappa/latents stay
+    # replicated.  Semantics identical to the replicated forward+loss.
+    # ------------------------------------------------------------------
+    def tp_pspecs(self, params: dict):
+        """Name-aware TP PartitionSpecs (see NBVAE.tp_pspecs).  The
+        Angular encoder first layer is a (D, H) row shard with no bias;
+        ``ln_kappa`` is a replicated scalar."""
+        from jax.sharding import PartitionSpec as P
+
+        row = {self._enc_names()[0]}
+        col = {self._dec_names()[-1], "covar_decoding_"}
+        flat = {"x_mean", "ln_x_sd"}
+
+        def spec_for(name, val):
+            if name in flat:
+                return P(None, "model")
+            if name in row:
+                # (D, H) weight rows; Angular layers carry no bias
+                return {k: (P("model", None) if k == "weight" else P())
+                        for k in val}
+            if name in col:
+                return {k: (P(None, "model") if k == "weight"
+                            else P("model")) for k in val}
+            return jax.tree_util.tree_map(lambda _: P(), val)
+
+        return {k: spec_for(k, v) for k, v in params.items()}
+
+    def tp_standardize(self, params, x, model_axis):
+        from ..parallel.collectives import tp_l2_normalize
+
+        eps = 1e-2 / float(self.data_dim)
+        xn = tp_l2_normalize(jnp.log1p(x), model_axis, axis=1,
+                             differentiated=False)
+        return (xn - params["x_mean"]) / (
+            jax.nn.softplus(params["ln_x_sd"]) + eps
+        )
+
+    def tp_encode(self, params, x, c, model_axis):
+        from ..parallel.collectives import psum_id_grad, tp_l2_normalize
+        from .modules import angular_apply
+
+        xn = self.tp_standardize(params, x, model_axis)
+        names = self._enc_names()
+        # Angular first layer: per-output-unit weight L2 norms span the
+        # sharded D axis (psum'd); the matmul is a psum'd partial
+        # product (angular.hh:34-42 semantics, eps=1e-4, no bias)
+        ww = tp_l2_normalize(
+            jax.nn.relu(params[names[0]]["weight"]) + 1e-4, model_axis,
+            axis=0,
+        )
+        h = psum_id_grad(xn @ ww, model_axis)
+        if self.do_relu:
+            h = jax.nn.relu(h)
+        for name in names[1:]:
+            h = angular_apply(params[name], h)
+            if self.do_relu:
+                h = jax.nn.relu(h)
+        lnvar = jnp.clip(
+            linear_apply(params["representation_logvariance"], h), -4.0, 4.0
+        )
+        mean = linear_apply(params["representation_mean"], h)
+        if c is not None:
+            mean = mean + linear_apply(params["covar_encoding"], c)
+        return mean, lnvar
+
+    def tp_decode(self, params, z, c, model_axis):
+        from ..parallel.collectives import psum_grad, tp_l2_normalize
+
+        names = self._dec_names()
+        h = z
+        for name in names[:-1]:
+            h = linear_apply(params[name], h)
+            if self.do_relu:
+                h = jax.nn.relu(h)
+        # replicated -> column-sharded boundary: the final layer's
+        # consumers are shard-local, so the cotangent flowing back into
+        # the replicated stack must be psum'd (see collectives.psum_grad)
+        h = psum_grad(h, model_axis)
+        h = jnp.exp(linear_apply(params[names[-1]], h))
+        hc = linear_apply(params["covar_decoding_"], c)
+        return tp_l2_normalize(h + hc, model_axis, axis=1)
+
+    def tp_step_loss(self, params, x, c, key, beta, model_axis="model"):
+        """Full TP loss (reference vmf_vae_loss, vmf.hh:419-440) for use
+        as both the report and boot override of a TP-shard_map Trainer."""
+        from ..ops.fastmath import fasterlog
+        from ..ops.lbessel import lbessel
+        from ..ops.losses import gaussian_kl
+        from ..parallel.collectives import psum_id_grad, tp_l2_normalize
+
+        mean, lnvar = self.tp_encode(params, x, c, model_axis)
+        z = reparameterize(key, mean, lnvar, True)
+        recon = self.tp_decode(params, z, c, model_axis)
+        kappa = jnp.clip(
+            jnp.exp(params["ln_kappa"]), self.kappa_min, self.kappa_max
+        )
+
+        dd = float(self.data_dim)
+        eps = 1e-2 / dd
+        yobs = tp_l2_normalize(jnp.log1p(jax.nn.relu(x)) + eps, model_axis,
+                               axis=1, differentiated=False)
+        n = x.shape[0]
+        df = max(0.5 * dd - 1.0, 0.0)
+        kl = gaussian_kl(mean, lnvar)
+        llik = psum_id_grad(
+            jnp.sum(yobs * recon, axis=1), model_axis
+        ) * kappa
+        llik += df * jnp.log(kappa) - lbessel(kappa, df)
+        llik -= 0.5 * dd * fasterlog(2.0 * math.pi)
+        return kl / n * beta - jnp.sum(llik) / n

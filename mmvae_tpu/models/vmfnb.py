@@ -258,10 +258,11 @@ class VMFNBVAE:
 
     def _zero_covar(self, x):
         # the joint model has no covariate pathway; the kernels expect a
-        # (B, C) covariate and its (C, D) weight — feed zeros
+        # (B, C) covariate and its (C, D) weight — feed zeros.  The
+        # weight width follows x (= the LOCAL feature shard under TP).
         B = x.shape[0]
         return (jnp.zeros((B, 1), jnp.float32),
-                jnp.zeros((1, self.data_dim), jnp.float32))
+                jnp.zeros((1, x.shape[1]), jnp.float32))
 
     def fused_step_report(self, params, x, c, key, beta,
                           include_data_const: bool = True):
@@ -282,8 +283,12 @@ class VMFNBVAE:
         n = x.shape[0]
         return (nll + vmf + beta * pre["kl"]) / n
 
-    def fused_step_boot(self, params, x, c, key, beta):
-        from ..ops.nb_step import nb_step_boot_joint
+    def fused_step_boot(self, params, x, c, key, beta,
+                        need_value: bool = True):
+        from ..ops.nb_step import (
+            nb_step_boot_joint,
+            nb_step_boot_joint_gradonly,
+        )
 
         if not self._can_fuse_step():
             out = self.forward(params, jnp.asarray(x, jnp.float32), key,
@@ -291,12 +296,197 @@ class VMFNBVAE:
             return vmfnb_composite_loss(x, out, beta)
         pre = self._step_prelude(params, x, key)
         cz, wcz = self._zero_covar(x)
-        nll = nb_step_boot_joint(
+        step = (nb_step_boot_joint if need_value
+                else nb_step_boot_joint_gradonly)
+        nll = step(
             x, pre["z_nb"], cz, pre["z_nu"], pre["depth"],
             pre["wd"], wcz, pre["bias2"], pre["wn"], pre["bias_n"],
             pre["pb"],
         )
         vmf = vmf_nllik_parts(x, pre["vmf_recon"], pre["kappa"])
+        n = x.shape[0]
+        return (nll + vmf + beta * pre["kl"]) / n
+
+    # ------------------------------------------------------------------
+    # Tensor-parallel fused step (SURVEY §5.7): runs inside a shard_map
+    # over ('data', 'model') where every D-sized parameter axis and x's
+    # column axis are 'model' shards.  D-input heads (shared encoder
+    # first layer, nu encoder, depth, kappa) decompose as partial
+    # matmuls + identity-gradient psum; the NB half runs the joint
+    # kernel variant with its normalizer/row reductions psum'd
+    # (ops/nb_step.py); the vMF decoder is column-parallel with a
+    # psum'd L2 norm.  Semantics identical to the replicated step.
+    # ------------------------------------------------------------------
+    def tp_pspecs(self, params: dict):
+        """Name-aware TP PartitionSpecs (see NBVAE.tp_pspecs)."""
+        from jax.sharding import PartitionSpec as P
+
+        row = {self._enc_names()[0], "nb_nu_encoding", "depth",
+               "ln_kappa"}
+        col = {"nb_mu_decoding", "nb_nu_decoding",
+               self._vdec_names()[-1]}
+        flat = {"x_mean", "ln_x_sd", "mu_bias", "nu_bias"}
+
+        def spec_for(name, val):
+            if name in flat:
+                return P(None, "model")
+            if name in row:
+                # (D, H) weight rows; Angular layers carry no bias
+                return {k: (P("model", None) if k == "weight" else P())
+                        for k in val}
+            if name in col:
+                return {k: (P(None, "model") if k == "weight"
+                            else P("model")) for k in val}
+            return jax.tree_util.tree_map(lambda _: P(), val)
+
+        return {k: spec_for(k, v) for k, v in params.items()}
+
+    def _tp_first_linear(self, p, xn, model_axis):
+        from ..parallel.collectives import psum_id_grad
+
+        return psum_id_grad(xn @ p["weight"], model_axis) + p["bias"]
+
+    def tp_normalize_nb_x(self, params, x, model_axis):
+        """:meth:`normalize_nb_x` with the row L2 norm psum'd over the
+        feature shards (x is data: plain psum)."""
+        from ..parallel.collectives import tp_l2_normalize
+
+        eps = 1e-2
+        xn = tp_l2_normalize(jnp.log1p(x), model_axis, axis=1,
+                             differentiated=False)
+        return (xn - params["x_mean"]) / (
+            jax.nn.softplus(params["ln_x_sd"]) + eps
+        )
+
+    def tp_shared_encode_mu(self, params, x, model_axis):
+        names = self._enc_names()
+        h = self._tp_first_linear(
+            params[names[0]], self.tp_normalize_nb_x(params, x, model_axis),
+            model_axis,
+        )
+        if self.do_relu:
+            h = jax.nn.relu(h)  # encoder stacks ReLU every layer
+        for name in names[1:]:
+            h = linear_apply(params[name], h)
+            if self.do_relu:
+                h = jax.nn.relu(h)
+        lnvar = jnp.clip(
+            linear_apply(params["nb_mu_representation_logvariance"], h),
+            -4.0, 4.0,
+        )
+        return linear_apply(params["nb_mu_representation_mean"], h), lnvar
+
+    def tp_nb_encode_nu(self, params, x, model_axis):
+        h = jax.nn.relu(
+            self._tp_first_linear(params["nb_nu_encoding"], x, model_axis)
+        )
+        lnvar = jnp.clip(
+            linear_apply(params["nb_nu_representation_logvariance"], h),
+            -4.0, 4.0,
+        )
+        return linear_apply(params["nb_nu_representation_mean"], h), lnvar
+
+    def tp_vmf_decode_mu(self, params, z, model_axis):
+        """Column-parallel vMF decoder: hidden layers are replicated,
+        the final H->D map yields the local column shard, and the row
+        L2 norm is psum-combined."""
+        from ..parallel.collectives import psum_grad, tp_l2_normalize
+
+        names = self._vdec_names()
+        h = z
+        for name in names[:-1]:
+            h = linear_apply(params[name], h)
+            if self.do_relu:
+                h = jax.nn.relu(h)
+        # replicated -> column-sharded boundary (collectives.psum_grad):
+        # the shared latent's cotangent from this branch is partial per
+        # shard and must be globally summed before it re-enters the
+        # replicated encoder
+        h = psum_grad(h, model_axis)
+        h = linear_apply(params[names[-1]], h)
+        return tp_l2_normalize(h, model_axis, axis=1)
+
+    def tp_kappa_head(self, params, x, model_axis):
+        from ..ops.fastmath import fasterlog
+
+        pre = self._tp_first_linear(params["ln_kappa"], x, model_axis)
+        return jnp.exp(
+            jnp.clip(pre, fasterlog(self.kappa_min),
+                     fasterlog(self.kappa_max))
+        )
+
+    def _tp_step_prelude(self, params, x, key, model_axis, training=True):
+        """TP mirror of :meth:`_step_prelude` — same key split, same
+        formulas, D-wide ops decomposed over the axis."""
+        k_nb, k_nu, k_vmf = jax.random.split(key, 3)
+        mu_mean, mu_lnvar = self.tp_shared_encode_mu(params, x, model_axis)
+        z_nb = reparameterize(k_nb, mu_mean, mu_lnvar, training)
+        nu_mean, nu_lnvar = self.tp_nb_encode_nu(params, x, model_axis)
+        z_nu = reparameterize(k_nu, nu_mean, nu_lnvar, training)
+        depth = jax.nn.softplus(
+            self._tp_first_linear(params["depth"], x, model_axis)
+        )
+        vmf_recon = self.tp_vmf_decode_mu(
+            params, reparameterize(k_vmf, mu_mean, mu_lnvar, training),
+            model_axis,
+        )
+        kappa = self.tp_kappa_head(params, x, model_axis)
+        kl = gaussian_kl(mu_mean, mu_lnvar) + gaussian_kl(nu_mean, nu_lnvar)
+
+        dec = params["nb_mu_decoding"]
+        nud = params["nb_nu_decoding"]
+        return dict(
+            z_nb=z_nb,
+            z_nu=z_nu,
+            depth=depth,
+            wd=dec["weight"],
+            bias2=dec["bias"],
+            wn=nud["weight"],
+            bias_n=nud["bias"] - params["nu_bias"][0],
+            pb=params["mu_bias"][0],
+            vmf_recon=vmf_recon,
+            kappa=kappa,
+            kl=kl,
+        )
+
+    def fused_step_report_tp(self, params, x, c, key, beta,
+                             model_axis="model",
+                             include_data_const: bool = True):
+        from ..ops.nb_step import nb_step_report
+
+        assert self._can_fuse_step(), "TP fused step needs a direct decoder"
+        pre = self._tp_step_prelude(params, x, key, model_axis)
+        cz, wcz = self._zero_covar(x)
+        nll = nb_step_report(
+            x, pre["z_nb"], cz, pre["z_nu"], pre["depth"],
+            pre["wd"], wcz, pre["bias2"], pre["wn"], pre["bias_n"],
+            include_const=include_data_const, pb=pre["pb"], nu_exp=True,
+            model_axis=model_axis,
+        )
+        vmf = tp_vmf_nllik_parts(x, pre["vmf_recon"], pre["kappa"],
+                                 float(self.data_dim), model_axis)
+        n = x.shape[0]
+        return (nll + vmf + beta * pre["kl"]) / n
+
+    def fused_step_boot_tp(self, params, x, c, key, beta,
+                           model_axis="model", need_value: bool = True):
+        from ..ops.nb_step import (
+            nb_step_boot_joint_tp,
+            nb_step_boot_joint_tp_gradonly,
+        )
+
+        assert self._can_fuse_step(), "TP fused step needs a direct decoder"
+        pre = self._tp_step_prelude(params, x, key, model_axis)
+        cz, wcz = self._zero_covar(x)
+        step = (nb_step_boot_joint_tp if need_value
+                else nb_step_boot_joint_tp_gradonly)
+        nll = step(
+            model_axis, x, pre["z_nb"], cz, pre["z_nu"], pre["depth"],
+            pre["wd"], wcz, pre["bias2"], pre["wn"], pre["bias_n"],
+            pre["pb"],
+        )
+        vmf = tp_vmf_nllik_parts(x, pre["vmf_recon"], pre["kappa"],
+                                 float(self.data_dim), model_axis)
         n = x.shape[0]
         return (nll + vmf + beta * pre["kl"]) / n
 
@@ -321,6 +511,29 @@ def vmf_nllik_parts(x: jax.Array, vmf_recon: jax.Array,
     llik = jnp.sum(yobs * vmf_recon, axis=1) * kappa
     from ..ops.fastmath import fasterlog
 
+    llik += df * jnp.log(kappa) - lbessel(kappa, df)
+    llik -= 0.5 * dd * fasterlog(2.0 * math.pi)
+    return -jnp.sum(llik)
+
+
+def tp_vmf_nllik_parts(x: jax.Array, vmf_recon: jax.Array,
+                       vmf_kappa: jax.Array, dd: float,
+                       model_axis: str) -> jax.Array:
+    """:func:`vmf_nllik_parts` with D sharded over ``model_axis``:
+    ``dd`` is the GLOBAL effective dimensionality (a static), the yobs
+    norm and the <yobs, recon> contraction psum over the axis, and the
+    per-sample kappa terms (replicated) are added once."""
+    from ..ops.fastmath import fasterlog
+    from ..parallel.collectives import psum_id_grad, tp_l2_normalize
+
+    eps = 1e-2 / dd
+    yobs = tp_l2_normalize(jnp.log1p(jax.nn.relu(x)) + eps, model_axis,
+                           axis=1, differentiated=False)
+    df = max(0.5 * dd - 1.0, 0.0)
+    kappa = vmf_kappa[:, 0]
+    llik = psum_id_grad(
+        jnp.sum(yobs * vmf_recon, axis=1), model_axis
+    ) * kappa
     llik += df * jnp.log(kappa) - lbessel(kappa, df)
     llik -= 0.5 * dd * fasterlog(2.0 * math.pi)
     return -jnp.sum(llik)

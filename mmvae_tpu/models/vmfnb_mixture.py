@@ -300,9 +300,10 @@ class VMFNBMixtureVAE:
         )
 
     def _zero_covar(self, x):
+        # weight width follows x (= the LOCAL feature shard under TP)
         B = x.shape[0]
         return (jnp.zeros((B, 1), jnp.float32),
-                jnp.zeros((1, self.data_dim), jnp.float32))
+                jnp.zeros((1, x.shape[1]), jnp.float32))
 
     def fused_step_report(self, params, x, c, key, beta,
                           include_data_const: bool = True):
@@ -325,8 +326,12 @@ class VMFNBMixtureVAE:
         n = x.shape[0]
         return (nll + vmf_nll + beta * pre["kl"]) / n
 
-    def fused_step_boot(self, params, x, c, key, beta):
-        from ..ops.nb_step import nb_step_boot_joint
+    def fused_step_boot(self, params, x, c, key, beta,
+                        need_value: bool = True):
+        from ..ops.nb_step import (
+            nb_step_boot_joint,
+            nb_step_boot_joint_gradonly,
+        )
 
         if not self._can_fuse_step():
             out = self.forward(params, jnp.asarray(x, jnp.float32), key,
@@ -334,13 +339,242 @@ class VMFNBMixtureVAE:
             return mixture_composite_loss(x, out, beta, self.dd)
         pre = self._step_prelude(params, x, key)
         cz, wcz = self._zero_covar(x)
-        nll = nb_step_boot_joint(
+        step = (nb_step_boot_joint if need_value
+                else nb_step_boot_joint_gradonly)
+        nll = step(
             x, pre["z_mu"], cz, pre["z_nu"], pre["depth"],
             pre["wd"], wcz, pre["bias2"], pre["wn"], pre["bias_n"],
             pre["pb"],
         )
         vmf_nll = _mixture_vmf_nllik_parts(
             x, pre["vmf"].recon, pre["vmf"].kappa, self.dd
+        )
+        n = x.shape[0]
+        return (nll + vmf_nll + beta * pre["kl"]) / n
+
+    # ------------------------------------------------------------------
+    # Tensor-parallel fused step (SURVEY §5.7): D sharded over 'model'.
+    # The D x K ``ln_vmf_mu`` directions and the fixed label/filter
+    # masks are row shards; the E-step's <xn, mu> contraction and every
+    # column L2 norm psum over the axis; the responsibilities/logits
+    # (n x K) stay replicated; the NB half runs the joint TP kernels.
+    # This is exactly the atlas-scale-D layout TP exists for
+    # (vmfnb_mixture.hh:482-560).
+    # ------------------------------------------------------------------
+    def tp_pspecs(self, params: dict):
+        """Name-aware TP PartitionSpecs (see NBVAE.tp_pspecs);
+        ``ln_vmf_mu`` is a (D, K) row shard."""
+        from jax.sharding import PartitionSpec as P
+
+        row = {self._enc_names()[0], "nb_nu_encoding", "depth",
+               "ln_kappa"}
+        col = {"nb_mu_decoding", "nb_nu_decoding"}
+        flat = {"x_mean", "ln_x_sd", "mu_bias", "nu_bias"}
+
+        def spec_for(name, val):
+            if name == "ln_vmf_mu":
+                return P("model", None)
+            if name in flat:
+                return P(None, "model")
+            if name in row:
+                # (D, H) weight rows; Angular layers carry no bias
+                return {k: (P("model", None) if k == "weight" else P())
+                        for k in val}
+            if name in col:
+                return {k: (P(None, "model") if k == "weight"
+                            else P("model")) for k in val}
+            return jax.tree_util.tree_map(lambda _: P(), val)
+
+        return {k: spec_for(k, v) for k, v in params.items()}
+
+    def _tp_first_linear(self, p, xn, model_axis):
+        from ..parallel.collectives import psum_id_grad
+
+        return psum_id_grad(xn @ p["weight"], model_axis) + p["bias"]
+
+    def _tp_local_rows(self, arr, x, model_axis):
+        """Local 'model'-shard rows of a closed-over full (D, ...)
+        constant: shards are contiguous row blocks of x's column
+        axis."""
+        i = jax.lax.axis_index(model_axis)
+        d_loc = x.shape[1]
+        return jax.lax.dynamic_slice_in_dim(arr, i * d_loc, d_loc, 0)
+
+    def tp_normalize_nb_x(self, params, x, model_axis):
+        from ..parallel.collectives import tp_l2_normalize
+
+        eps = 1e-2
+        xn = tp_l2_normalize(jnp.log1p(x), model_axis, axis=1,
+                             differentiated=False)
+        return (xn - params["x_mean"]) / (
+            jax.nn.softplus(params["ln_x_sd"]) + eps
+        )
+
+    def tp_normalize_vmf_x(self, x, model_axis):
+        from ..parallel.collectives import tp_l2_normalize
+
+        eps = 1e-2 / float(self.data_dim)
+        filt = self._tp_local_rows(
+            jnp.asarray(self._filter().T), x, model_axis
+        ).T  # (1, D_loc)
+        return tp_l2_normalize((jnp.log1p(x) + eps) * filt, model_axis,
+                               axis=1, differentiated=False)
+
+    def tp_vmf_forward(self, params, x, key, training, model_axis):
+        from ..ops.fastmath import fasterlog
+        from ..parallel.collectives import (
+            psum_grad,
+            psum_id_grad,
+            tp_l2_normalize,
+        )
+
+        L = self._tp_local_rows(
+            jnp.asarray(np.asarray(self.label, dtype=np.float32)),
+            x, model_axis,
+        )
+        vmf_eps = 1e-2 / float(self.data_dim)
+        # columns of (exp(ln_mu)+eps) * L, L2-normalized over the GLOBAL
+        # feature axis (psum'd column norms)
+        vmf_mu = tp_l2_normalize(
+            (jnp.exp(params["ln_vmf_mu"]) + vmf_eps) * L, model_axis,
+            axis=0,
+        )
+        kappa = jnp.exp(
+            jnp.clip(
+                self._tp_first_linear(params["ln_kappa"], x, model_axis),
+                fasterlog(self.kappa_min),
+                fasterlog(self.kappa_max),
+            )
+        )
+        xn = self.tp_normalize_vmf_x(x, model_axis)
+        logits = jax.nn.log_softmax(
+            psum_id_grad(xn @ vmf_mu, model_axis) * kappa, axis=1
+        )
+        if training:
+            latent = jnp.exp(logits)
+        else:
+            # logits and key are replicated over 'model': every shard
+            # draws the same Gumbel noise and hard assignment
+            g = -jnp.log(-jnp.log(
+                jax.random.uniform(key, logits.shape, minval=1e-20,
+                                   maxval=1.0)
+            ))
+            y_soft = jax.nn.softmax(logits + g, axis=1)
+            hard = jax.nn.one_hot(
+                jnp.argmax(y_soft, axis=1), logits.shape[1],
+                dtype=y_soft.dtype,
+            )
+            latent = jax.lax.stop_gradient(hard - y_soft) + y_soft
+        filt = self._tp_local_rows(
+            jnp.asarray(self._filter().T), x, model_axis
+        ).T
+        # replicated -> row-sharded boundary for THIS use of the
+        # responsibilities only (their other consumers are replicated):
+        # the recon branch's per-shard latent cotangents are partial
+        recon = (psum_grad(latent, model_axis) @ vmf_mu.T) * filt
+        return VMFOut(vmf_mu, logits, latent, recon, kappa)
+
+    def tp_nb_encode_mu(self, params, x, z, model_axis):
+        h = self._tp_first_linear(
+            params[self._enc_names()[0]],
+            self.tp_normalize_nb_x(params, x, model_axis), model_axis,
+        )
+        if self.do_relu:
+            h = jax.nn.relu(h)
+        for name in self._enc_names()[1:]:
+            h = linear_apply(params[name], h)
+            if self.do_relu:
+                h = jax.nn.relu(h)
+        lnvar = jnp.clip(
+            linear_apply(params["nb_mu_representation_logvariance"], h),
+            -4.0, 4.0,
+        )
+        heads = params["nb_mu_representation_mean_k"]
+        mu_k = jnp.einsum("nh,khr->nkr", h, heads["weight"]) + heads["bias"][None]
+        mu = jnp.sum(mu_k * z[:, :, None], axis=1)
+        return mu, lnvar
+
+    def tp_nb_encode_nu(self, params, x, model_axis):
+        h = jax.nn.relu(
+            self._tp_first_linear(params["nb_nu_encoding"], x, model_axis)
+        )
+        lnvar = jnp.clip(
+            linear_apply(params["nb_nu_representation_logvariance"], h),
+            -4.0, 4.0,
+        )
+        return linear_apply(params["nb_nu_representation_mean"], h), lnvar
+
+    def _tp_step_prelude(self, params, x, key, model_axis, training=True):
+        k_gumbel, k_mu, k_nu = jax.random.split(key, 3)
+        vmf = self.tp_vmf_forward(params, x, k_gumbel, training, model_axis)
+        mu_mean, mu_lnvar = self.tp_nb_encode_mu(params, x, vmf.latent,
+                                                 model_axis)
+        z_mu = reparameterize(k_mu, mu_mean, mu_lnvar, training)
+        nu_mean, nu_lnvar = self.tp_nb_encode_nu(params, x, model_axis)
+        z_nu = reparameterize(k_nu, nu_mean, nu_lnvar, training)
+        depth = jax.nn.softplus(
+            self._tp_first_linear(params["depth"], x, model_axis)
+        )
+        kl = (gaussian_kl(mu_mean, mu_lnvar)
+              + gaussian_kl(nu_mean, nu_lnvar)
+              + uniform_kl(vmf.logits))
+
+        dec = params["nb_mu_decoding"]
+        nud = params["nb_nu_decoding"]
+        return dict(
+            z_mu=z_mu,
+            z_nu=z_nu,
+            depth=depth,
+            wd=dec["weight"],
+            bias2=dec["bias"],
+            wn=nud["weight"],
+            bias_n=nud["bias"] - params["nu_bias"][0],
+            pb=params["mu_bias"][0],
+            vmf=vmf,
+            kl=kl,
+        )
+
+    def fused_step_report_tp(self, params, x, c, key, beta,
+                             model_axis="model",
+                             include_data_const: bool = True):
+        from ..ops.nb_step import nb_step_report
+        from .vmfnb import tp_vmf_nllik_parts
+
+        assert self._can_fuse_step(), "TP fused step needs a direct decoder"
+        pre = self._tp_step_prelude(params, x, key, model_axis)
+        cz, wcz = self._zero_covar(x)
+        nll = nb_step_report(
+            x, pre["z_mu"], cz, pre["z_nu"], pre["depth"],
+            pre["wd"], wcz, pre["bias2"], pre["wn"], pre["bias_n"],
+            include_const=include_data_const, pb=pre["pb"], nu_exp=True,
+            model_axis=model_axis,
+        )
+        vmf_nll = tp_vmf_nllik_parts(
+            x, pre["vmf"].recon, pre["vmf"].kappa, self.dd, model_axis
+        )
+        n = x.shape[0]
+        return (nll + vmf_nll + beta * pre["kl"]) / n
+
+    def fused_step_boot_tp(self, params, x, c, key, beta,
+                           model_axis="model", need_value: bool = True):
+        from ..ops.nb_step import (
+            nb_step_boot_joint_tp,
+            nb_step_boot_joint_tp_gradonly,
+        )
+        from .vmfnb import tp_vmf_nllik_parts
+
+        assert self._can_fuse_step(), "TP fused step needs a direct decoder"
+        pre = self._tp_step_prelude(params, x, key, model_axis)
+        cz, wcz = self._zero_covar(x)
+        step = (nb_step_boot_joint_tp if need_value
+                else nb_step_boot_joint_tp_gradonly)
+        nll = step(
+            model_axis, x, pre["z_mu"], cz, pre["z_nu"], pre["depth"],
+            pre["wd"], wcz, pre["bias2"], pre["wn"], pre["bias_n"],
+            pre["pb"],
+        )
+        vmf_nll = tp_vmf_nllik_parts(
+            x, pre["vmf"].recon, pre["vmf"].kappa, self.dd, model_axis
         )
         n = x.shape[0]
         return (nll + vmf_nll + beta * pre["kl"]) / n

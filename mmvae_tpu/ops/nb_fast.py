@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import optax
 
 from .losses import gaussian_kl, kl_weight_schedule
-from .nb_step import nb_step_boot, nb_step_report
+from .nb_step import nb_step_boot_gradonly, nb_step_report
 
 
 def _softplus(x):
@@ -342,7 +342,9 @@ class NBFastStep:
         z_nu = self._reparam(k_nu, nu_mean, nu_lnvar)
         kl = gaussian_kl(mu_mean, mu_lnvar) + gaussian_kl(nu_mean, nu_lnvar)
         wd, wc, bias2, wn, bias_n = self._kernel_rows(q["P"])
-        step_fn = nb_step_boot if boot else (
+        # boot losses are consumed by jax.grad only — the grad-only
+        # kernel skips the primal's lgamma/log VPU ops entirely
+        step_fn = nb_step_boot_gradonly if boot else (
             lambda *a: nb_step_report(*a, include_const=include_const)
         )
         nll = step_fn(x, z_mu, c, z_nu, depth, wd, wc, bias2, wn, bias_n)
@@ -386,9 +388,18 @@ class NBFastStep:
             q = optax.apply_updates(q, updates)
             return q, opt_state
 
-        q, opt_state = jax.lax.fori_loop(
-            0, self.opt.nboot, boot_body, (q, opt_state)
-        )
+        # nboot is static and small: unroll in Python — identical math
+        # to a fori_loop, but XLA schedules the three boot bodies
+        # without while-loop sequencing overhead
+        if self.opt.nboot <= 8:
+            carry = (q, opt_state)
+            for i in range(self.opt.nboot):
+                carry = boot_body(i, carry)
+            q, opt_state = carry
+        else:
+            q, opt_state = jax.lax.fori_loop(
+                0, self.opt.nboot, boot_body, (q, opt_state)
+            )
         return q, opt_state, report
 
 

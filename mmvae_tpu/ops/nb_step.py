@@ -177,7 +177,8 @@ def _int_flag(x, valid):
     return jnp.min(jnp.where(valid, ok.astype(jnp.float32), 1.0))
 
 
-def _mixed_lgdg(x, nu, need_dg: bool, need_const: bool):
+def _mixed_lgdg(x, nu, need_dg: bool, need_const: bool,
+                need_lg: bool = True):
     """lgamma/digamma differences for ALL-INTEGER tiles with counts of
     any size (the depth~1000 regime that defeats the <=7 fast path).
 
@@ -199,10 +200,12 @@ def _mixed_lgdg(x, nu, need_dg: bool, need_const: bool):
     P, dP, Pc = _fast_products(x, nu, need_dg=need_dg,
                                need_const=need_const)
     small = x <= _XMAX_FAST
-    big_corr = _stirling_lgamma(nu + 7.0) - _stirling_lgamma(
-        jnp.maximum(nu + x, 8.0)
-    )
-    lg = -jnp.log(P) + jnp.where(small, 0.0, big_corr)
+    lg = None
+    if need_lg:
+        big_corr = _stirling_lgamma(nu + 7.0) - _stirling_lgamma(
+            jnp.maximum(nu + x, 8.0)
+        )
+        lg = -jnp.log(P) + jnp.where(small, 0.0, big_corr)
     dg = None
     if need_dg:
         big_dg = _stirling_digamma(nu + 7.0) - _stirling_digamma(
@@ -409,7 +412,8 @@ def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
 # ----------------------------------------------------------------------
 
 def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
-                         has_pb: bool = False, nu_exp: bool = False):
+                         has_pb: bool = False, nu_exp: bool = False,
+                         need_value: bool = True):
     base = R + C + 1  # rows: wd | wc | bias2 | wn | bias_n | [pb]
     pbi = base + Rn + 1
 
@@ -460,29 +464,34 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
         @pl.when(fast)
         def _():
             P, dP, _ = _fast_products(x, nu, need_dg=True, need_const=False)
-            lg_ref[:] = -jnp.log(P)
+            if need_value:
+                lg_ref[:] = -jnp.log(P)
             dg_ref[:] = -dP / P
 
         @pl.when(jnp.logical_not(fast) & allint)
         def _():
-            lg, dg, _ = _mixed_lgdg(x, nu, need_dg=True, need_const=False)
-            lg_ref[:] = lg
+            lg, dg, _ = _mixed_lgdg(x, nu, need_dg=True, need_const=False,
+                                    need_lg=need_value)
+            if need_value:
+                lg_ref[:] = lg
             dg_ref[:] = dg
 
         if not x_is_int:
             @pl.when(jnp.logical_not(allint))
             def _():
-                lg_ref[:] = _lgamma_pos(nu) - _lgamma_pos(nu + x)
+                if need_value:
+                    lg_ref[:] = _lgamma_pos(nu) - _lgamma_pos(nu + x)
                 dg_ref[:] = _digamma_pos(nu) - _digamma_pos(nu + x)
 
         denom = jnp.log(mu + nu)
         lnu = jnp.log(nu)
-        terms = (
-            lg_ref[:]
-            + x * (denom - jnp.log(mu))
-            + nu * (denom - lnu)
-        )
-        acc_ref[0, 0] += jnp.sum(jnp.where(valid, terms, 0.0))
+        if need_value:
+            terms = (
+                lg_ref[:]
+                + x * (denom - jnp.log(mu))
+                + nu * (denom - lnu)
+            )
+            acc_ref[0, 0] += jnp.sum(jnp.where(valid, terms, 0.0))
 
         inv_mn = 1.0 / (mu + nu)
         dmu = jnp.where(valid, x * (inv_mn - 1.0 / mu) + nu * inv_mn, 0.0)
@@ -533,7 +542,7 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
 
         @pl.when(j == nj - 1)
         def _():
-            nll_ref[0, 0] = acc_ref[0, 0]
+            nll_ref[0, 0] = acc_ref[0, 0] if need_value else 0.0
             rsum_ref[:] = rs_acc[:]
             u1_ref[:] = u1_acc[:]
             dzn_ref[:] = dzn_acc[:]
@@ -543,7 +552,7 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
 
 
 def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
-                  nu_exp=False):
+                  nu_exp=False, need_value=True):
     bp, Dp = x.shape
     td = _TD
     nj = Dp // td
@@ -551,7 +560,7 @@ def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
     R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
     x_is_int = jnp.issubdtype(x.dtype, jnp.integer)
     kernel = _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int,
-                                  has_pb, nu_exp)
+                                  has_pb, nu_exp, need_value)
     nll, gout, rsum, u1, dzn, dd = pl.pallas_call(
         kernel,
         grid=(nj,),
@@ -738,7 +747,8 @@ def nb_step_boot(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
 
 
 def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
-                   nu_exp: bool, model_axis: str | None = None):
+                   nu_exp: bool, model_axis: str | None = None,
+                   need_value: bool = True):
     """Shared fused fwd+grad.  Returns (nll, (res, xla_vjp)) where res
     additionally carries d_pb when ``pb`` is given.
 
@@ -770,10 +780,11 @@ def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
         lse = _combine_lse(lse, model_axis)
     nll, gout, rsum, u1, dzn, dd = _valgrad_call(
         xp, zmp, cp, znp, dpp, lse, W, D=D, B=B, has_pb=pb is not None,
-        nu_exp=nu_exp,
+        nu_exp=nu_exp, need_value=need_value,
     )
     if model_axis is not None:
-        nll = jax.lax.psum(nll, model_axis)
+        if need_value:
+            nll = jax.lax.psum(nll, model_axis)
         rsum = jax.lax.psum(rsum, model_axis)  # global before the finisher
         u1 = jax.lax.psum(u1, model_axis)
         dzn = jax.lax.psum(dzn, model_axis)
@@ -889,6 +900,52 @@ def _boot_tp_fwd(model_axis, x, zm, c, zn, depth, wd, wc, bias2, wn,
                           None, nu_exp=False, model_axis=model_axis)
 
 
+# ----------------------------------------------------------------------
+# grad-only boot variants: the production boot step consumes ONLY
+# gradients (train.loop._batch_step and ops.nb_fast take jax.grad of the
+# boot loss and discard its value, matching the reference's backprop-only
+# bootstrap pass, mmvae_alg.hh:290-311).  These skip every VPU op that
+# exists solely for the primal — the lgamma differences and the
+# x*(log(mu+nu)-log(mu)) value terms — and return 0.0 as the primal.
+# Their VJP is IDENTICAL to the value-bearing ops.  Never use them where
+# the loss value itself is read.
+# ----------------------------------------------------------------------
+
+@jax.custom_vjp
+def nb_step_boot_gradonly(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
+    """:func:`nb_step_boot` minus the primal: returns 0.0, same VJP."""
+    nll, _ = _boot_gradonly_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn,
+                                bias_n)
+    return nll
+
+
+def _boot_gradonly_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
+    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                          None, nu_exp=False, need_value=False)
+
+
+nb_step_boot_gradonly.defvjp(_boot_gradonly_fwd, _boot_bwd)
+
+
+@jax.custom_vjp
+def nb_step_boot_joint_gradonly(x, zm, c, zn, depth, wd, wc, bias2, wn,
+                                bias_n, pb):
+    """:func:`nb_step_boot_joint` minus the primal: 0.0, same VJP."""
+    nll, _ = _boot_joint_gradonly_fwd(x, zm, c, zn, depth, wd, wc, bias2,
+                                      wn, bias_n, pb)
+    return nll
+
+
+def _boot_joint_gradonly_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn,
+                             bias_n, pb):
+    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                          pb, nu_exp=True, need_value=False)
+
+
+nb_step_boot_joint_gradonly.defvjp(_boot_joint_gradonly_fwd,
+                                   _boot_joint_bwd)
+
+
 def _boot_tp_bwd(model_axis, saved, g):
     res, xla_vjp = saved
     if res is None:
@@ -907,3 +964,83 @@ def _boot_tp_bwd(model_axis, saved, g):
 
 
 nb_step_boot_tp.defvjp(_boot_tp_fwd, _boot_tp_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def nb_step_boot_tp_gradonly(model_axis, x, zm, c, zn, depth, wd, wc,
+                             bias2, wn, bias_n):
+    """:func:`nb_step_boot_tp` minus the primal: 0.0, same VJP."""
+    nll, _ = _boot_tp_gradonly_fwd(model_axis, x, zm, c, zn, depth, wd,
+                                   wc, bias2, wn, bias_n)
+    return nll
+
+
+def _boot_tp_gradonly_fwd(model_axis, x, zm, c, zn, depth, wd, wc, bias2,
+                          wn, bias_n):
+    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                          None, nu_exp=False, model_axis=model_axis,
+                          need_value=False)
+
+
+nb_step_boot_tp_gradonly.defvjp(_boot_tp_gradonly_fwd, _boot_tp_bwd)
+
+
+# ----------------------------------------------------------------------
+# TP variants of the JOINT boot step (vmfnb / vmfnb_mixture NB half):
+# same feature-sharded contract as nb_step_boot_tp — D-sized operands
+# (incl. the post-softmax log-bias pb) are 'model' shards, the softmax
+# normalizer and per-row reductions psum over the axis, weight/pb
+# gradients stay shard-local (SURVEY §5.7; vmfnb_mixture.hh:482-560 at
+# atlas-scale D).
+# ----------------------------------------------------------------------
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def nb_step_boot_joint_tp(model_axis, x, zm, c, zn, depth, wd, wc, bias2,
+                          wn, bias_n, pb):
+    """TP variant of :func:`nb_step_boot_joint`."""
+    nll, _ = _boot_joint_tp_fwd(model_axis, x, zm, c, zn, depth, wd, wc,
+                                bias2, wn, bias_n, pb)
+    return nll
+
+
+def _boot_joint_tp_fwd(model_axis, x, zm, c, zn, depth, wd, wc, bias2,
+                       wn, bias_n, pb):
+    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                          pb, nu_exp=True, model_axis=model_axis)
+
+
+def _boot_joint_tp_bwd(model_axis, saved, g):
+    res, xla_vjp = saved
+    if res is None:
+        # XLA fallback: psum the shard-local row cotangents to the
+        # replicated contract (see _boot_tp_bwd)
+        (dx, dzm, dc, dzn, ddep, dwd, dwc, db2, dwn, dbn,
+         dpb) = xla_vjp(g)
+        dzm = jax.lax.psum(dzm, model_axis)
+        dzn = jax.lax.psum(dzn, model_axis)
+        ddep = jax.lax.psum(ddep, model_axis)
+        return (None, dzm, None, dzn, ddep, dwd, dwc, db2, dwn, dbn, dpb)
+    return _boot_joint_bwd(saved, g)
+
+
+nb_step_boot_joint_tp.defvjp(_boot_joint_tp_fwd, _boot_joint_tp_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def nb_step_boot_joint_tp_gradonly(model_axis, x, zm, c, zn, depth, wd,
+                                   wc, bias2, wn, bias_n, pb):
+    """:func:`nb_step_boot_joint_tp` minus the primal: 0.0, same VJP."""
+    nll, _ = _boot_joint_tp_gradonly_fwd(model_axis, x, zm, c, zn, depth,
+                                         wd, wc, bias2, wn, bias_n, pb)
+    return nll
+
+
+def _boot_joint_tp_gradonly_fwd(model_axis, x, zm, c, zn, depth, wd, wc,
+                                bias2, wn, bias_n, pb):
+    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                          pb, nu_exp=True, model_axis=model_axis,
+                          need_value=False)
+
+
+nb_step_boot_joint_tp_gradonly.defvjp(_boot_joint_tp_gradonly_fwd,
+                                      _boot_joint_tp_bwd)

@@ -63,6 +63,39 @@ def tree_pspecs(tree, data_dim: int):
     return jax.tree_util.tree_map(spec_for, tree)
 
 
+def named_tree_pspecs(tree, param_specs):
+    """Propagate NAME-AWARE parameter PartitionSpecs onto an arbitrary
+    pytree whose leaves mirror the parameter dict by trailing dict path
+    (the params themselves, optimizer moment trees, gradient trees).
+
+    ``param_specs`` is the model's ``tp_pspecs(params)`` tree (same
+    structure as params, ``PartitionSpec`` leaves).  Each leaf of
+    ``tree`` is matched by the longest suffix of its dict-key path that
+    names a parameter; unmatched leaves (e.g. the Adam step counter)
+    are replicated.  This replaces the size-match heuristic of
+    :func:`tree_pspecs`, which mis-shards hidden widths equal to the
+    feature dim D."""
+    from jax.tree_util import DictKey
+
+    is_p = lambda s: isinstance(s, P)
+    full = {}
+    for path, spec in jax.tree_util.tree_leaves_with_path(
+        param_specs, is_leaf=is_p
+    ):
+        names = tuple(k.key for k in path if isinstance(k, DictKey))
+        full[names] = spec
+
+    def for_leaf(path, leaf):
+        names = tuple(k.key for k in path if isinstance(k, DictKey))
+        for i in range(len(names)):
+            spec = full.get(names[i:])
+            if spec is not None and len(spec) == np.ndim(leaf):
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(for_leaf, tree)
+
+
 def param_sharding(mesh: Mesh, params: dict, data_dim: int) -> dict:
     """Tensor-parallel layout: shard every parameter axis of size
     ``data_dim`` (the feature axis D) over 'model'; replicate the rest.

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import sys
 import time
 from typing import Callable
 
@@ -118,6 +119,7 @@ class Trainer:
         dp_shard_map: bool = False,
         tp_shard_map: bool = False,
         data_dim: int | None = None,
+        tp_param_pspecs=None,
         fast_step=None,
     ):
         self.forward = forward
@@ -147,6 +149,10 @@ class Trainer:
             # single source of truth for the annealing constants
             self.fast.kl_max, self.fast.kl_min, self.fast.kl_discount = kl
         self._tp_data_dim = data_dim
+        # name-aware parameter PartitionSpecs (model.tp_pspecs(params));
+        # when given, they replace the size-match heuristic for both the
+        # param and optimizer-state spec trees (fixes hidden widths == D)
+        self._tp_param_pspecs = tp_param_pspecs
         self._tp_clip = None
         # TP strips the local clip from the chain and applies a
         # cross-shard global-norm clip in boot_body instead (same torch
@@ -196,11 +202,15 @@ class Trainer:
 
         from jax.sharding import PartitionSpec as P
 
-        from ..parallel.mesh import tree_pspecs
+        from ..parallel.mesh import named_tree_pspecs, tree_pspecs
 
         assert self._tp_data_dim is not None, "tp_shard_map needs data_dim"
-        p_specs = tree_pspecs(params, self._tp_data_dim)
-        o_specs = tree_pspecs(opt_state, self._tp_data_dim)
+        if self._tp_param_pspecs is not None:
+            p_specs = self._tp_param_pspecs
+            o_specs = named_tree_pspecs(opt_state, p_specs)
+        else:
+            p_specs = tree_pspecs(params, self._tp_data_dim)
+            o_specs = tree_pspecs(opt_state, self._tp_data_dim)
         self._tp_clip = self._make_tp_clip(p_specs, "model",
                                            self.opt.grad_clip)
         step = jax.shard_map(
@@ -298,9 +308,17 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state
 
-        params, opt_state = jax.lax.fori_loop(
-            0, self.opt.nboot, boot_body, (params, opt_state)
-        )
+        # static small nboot: Python-unroll (bitwise-identical to the
+        # fori_loop; removes per-iteration while sequencing overhead)
+        if self.opt.nboot <= 8:
+            carry = (params, opt_state)
+            for i in range(self.opt.nboot):
+                carry = boot_body(i, carry)
+            params, opt_state = carry
+        else:
+            params, opt_state = jax.lax.fori_loop(
+                0, self.opt.nboot, boot_body, (params, opt_state)
+            )
         return params, opt_state, report
 
     def _superbatch_step(
@@ -749,6 +767,7 @@ def train_vae_model(
     dp_shard_map: bool = False,
     tp_shard_map: bool = False,
     data_dim: int | None = None,
+    tp_param_pspecs=None,
     fast_step=None,
     metrics_path: str | None = None,
     ondevice: bool = False,
@@ -796,6 +815,7 @@ def train_vae_model(
                       dp_shard_map=dp_shard_map,
                       tp_shard_map=tp_shard_map,
                       data_dim=data_dim,
+                      tp_param_pspecs=tp_param_pspecs,
                       fast_step=fast_step)
     params = init_params
     opt_state = (
@@ -1000,6 +1020,12 @@ def train_vae_model(
                        and trainer.can_step_record())
         S_eff = 1 if (recording_now and recorder is not None
                       and not fast_record) else S
+        # reference-style live `\r[batch] loss` line (mmvae_alg.hh:283):
+        # interactive primary-host runs only — reading the loss forces a
+        # per-superbatch device sync that pipelined runs must not pay
+        _live_batch_display = (
+            sys.stderr.isatty() and jax.process_index() == 0
+        )
 
         loader = PrefetchLoader(data_block, covar_block, batches,
                                 depth=2 * S_eff)
@@ -1026,6 +1052,14 @@ def train_vae_model(
                         params, opt_state, x_sb, c_sb, epoch, ids
                     )
                 reports.append(rep)
+            if _live_batch_display:
+                # reference per-batch progress line (mmvae_alg.hh:283-284)
+                # — TTY-only, because reading `rep` here forces a device
+                # sync that the pipelined non-interactive path must not pay
+                sys.stderr.write(
+                    f"\r[{counter + len(buf):>20}] "
+                    f"{float(np.asarray(rep)[-1]):>20.6f}"
+                )
             if fast_record:
                 with timer.phase("record"):
                     extra = (extra if recorder.extra_fn is not None
@@ -1059,6 +1093,8 @@ def train_vae_model(
                 flush()
         flush()
 
+        if _live_batch_display:
+            sys.stderr.write("\r")  # clear the batch line (alg.hh:323)
         epoch_losses = np.concatenate([np.asarray(r) for r in reports])
         epoch_loss = float(epoch_losses.mean())
         loss_vec.append(epoch_loss)

@@ -324,3 +324,227 @@ def test_tp_fallback_grads_match_single_device():
             err_msg=f"TP fallback grad mismatch at "
                     f"{jax.tree_util.keystr(path)}",
         )
+
+
+def _tp_vs_dp_params_close(p_tp, p_dp, rtol=2e-4, atol=2e-6):
+    leaves_dp = dict(jax.tree_util.tree_leaves_with_path(p_dp))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(p_tp):
+        ref = np.asarray(leaves_dp[path])
+        scale = max(1e-3, float(np.abs(ref).max()))
+        np.testing.assert_allclose(
+            np.asarray(leaf), ref, rtol=rtol, atol=atol * scale,
+            err_msg=f"TP/DP param mismatch at "
+                    f"{jax.tree_util.keystr(path)}",
+        )
+
+
+def _run_tp_vs_dp(model, params0, x_sb, c_sb, S, interpret):
+    """DP shard_map (2 devices) vs TP (2 data x 2 model) with the
+    model's fused step overrides; returns (report_dp, report_tp,
+    params_dp, params_tp)."""
+    from mmvae_tpu.ops import nb_step
+
+    topt = TrainingOptions(nboot=2, superbatch=S, seed=0)
+    old = nb_step._INTERPRET
+    nb_step._INTERPRET = interpret
+    try:
+        mesh_dp = make_mesh(devices=jax.devices()[:2])
+        tr_dp = Trainer(
+            lambda p, x, c, k, t: None, lambda x, o, b: None, topt,
+            mesh=mesh_dp, dp_shard_map=True,
+            report_loss_override=lambda p, x, c, k, b:
+                model.fused_step_report(p, x, c, k, b),
+            boot_loss_override=lambda p, x, c, k, b:
+                model.fused_step_boot(p, x, c, k, b),
+        )
+        s0 = tr_dp.optimizer.init(jax.tree.map(jnp.array, params0))
+        p_dp, _, rep_dp = tr_dp.step(
+            jax.tree.map(jnp.array, params0), s0, x_sb, c_sb, 0,
+            np.arange(S),
+        )
+
+        D = x_sb.shape[-1]
+        mesh_tp = make_mesh(model_parallel=2, devices=jax.devices()[:4])
+        tr_tp = Trainer(
+            lambda p, x, c, k, t: None, lambda x, o, b: None, topt,
+            mesh=mesh_tp, tp_shard_map=True, data_dim=D,
+            report_loss_override=lambda p, x, c, k, b:
+                model.fused_step_report_tp(p, x, c, k, b),
+            boot_loss_override=lambda p, x, c, k, b:
+                model.fused_step_boot_tp(p, x, c, k, b),
+        )
+        s1 = tr_tp.optimizer.init(jax.tree.map(jnp.array, params0))
+        p_tp, _, rep_tp = tr_tp.step(
+            jax.tree.map(jnp.array, params0), s1, x_sb, c_sb, 0,
+            np.arange(S),
+        )
+        return (np.asarray(rep_dp), np.asarray(rep_tp), p_dp, p_tp)
+    finally:
+        nb_step._INTERPRET = old
+
+
+def test_tp_joint_matches_dp():
+    """Joint vMF+NB TP (D-sharded joint kernels + sharded vMF decoder,
+    VERDICT r2 item 3) reproduces the DP trajectory."""
+    from mmvae_tpu.models.vmfnb import VMFNBVAE
+
+    _need_devices(4)
+    D, B, S = 64, 16, 2
+    model = VMFNBVAE(data_dim=D, mean_latent=2)
+    rng = np.random.default_rng(7)
+    x_sb = rng.poisson(1.0, size=(S, B, D)).astype(np.float32)
+    c_sb = np.ones((S, B, 1), np.float32)
+    params0 = model.init(jax.random.PRNGKey(0))
+
+    rep_dp, rep_tp, p_dp, p_tp = _run_tp_vs_dp(
+        model, params0, x_sb, c_sb, S, interpret=True
+    )
+    np.testing.assert_allclose(rep_tp, rep_dp, rtol=3e-5)
+    _tp_vs_dp_params_close(p_tp, p_dp)
+
+
+def test_tp_mixture_matches_dp():
+    """Mixture TP: D-sharded ln_vmf_mu/label/filter rows, psum'd E-step
+    contraction and column norms (VERDICT r2 item 3)."""
+    from mmvae_tpu.models.vmfnb_mixture import VMFNBMixtureVAE
+
+    _need_devices(4)
+    D, K, B, S = 64, 4, 16, 2
+    rng = np.random.default_rng(11)
+    # leave some features uncovered to exercise the filter mask
+    L = (rng.uniform(size=(D, K)) < 0.4).astype(np.float32)
+    L[:8] = 0.0
+    model = VMFNBMixtureVAE(label=L, mean_latent=2)
+    x_sb = rng.poisson(1.0, size=(S, B, D)).astype(np.float32)
+    c_sb = np.ones((S, B, 1), np.float32)
+    params0 = model.init(jax.random.PRNGKey(0))
+
+    rep_dp, rep_tp, p_dp, p_tp = _run_tp_vs_dp(
+        model, params0, x_sb, c_sb, S, interpret=True
+    )
+    np.testing.assert_allclose(rep_tp, rep_dp, rtol=3e-5)
+    _tp_vs_dp_params_close(p_tp, p_dp)
+
+
+def test_tp_vmf_matches_dp():
+    """vMF TP (all-XLA sharded linear algebra, models/vmf.py
+    tp_step_loss) reproduces the DP trajectory."""
+    from mmvae_tpu.models.vmf import VMFVAE
+    from mmvae_tpu.ops.losses import vmf_loss
+
+    _need_devices(4)
+    D, B, S = 64, 16, 2
+    model = VMFVAE(data_dim=D, covar_dim=1, encoding=(8,), do_relu=True)
+    rng = np.random.default_rng(13)
+    x_sb = rng.poisson(1.0, size=(S, B, D)).astype(np.float32)
+    c_sb = np.ones((S, B, 1), np.float32)
+    params0 = model.init(jax.random.PRNGKey(0))
+    topt = TrainingOptions(nboot=2, superbatch=S, seed=0)
+
+    mesh_dp = make_mesh(devices=jax.devices()[:2])
+    tr_dp = Trainer(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        lambda x, o, b: vmf_loss(x, o, b), topt, mesh=mesh_dp,
+        dp_shard_map=True,
+    )
+    s0 = tr_dp.optimizer.init(jax.tree.map(jnp.array, params0))
+    p_dp, _, rep_dp = tr_dp.step(
+        jax.tree.map(jnp.array, params0), s0, x_sb, c_sb, 0, np.arange(S)
+    )
+
+    mesh_tp = make_mesh(model_parallel=2, devices=jax.devices()[:4])
+    tr_tp = Trainer(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        lambda x, o, b: vmf_loss(x, o, b), topt, mesh=mesh_tp,
+        tp_shard_map=True, data_dim=D,
+        report_loss_override=lambda p, x, c, k, b:
+            model.tp_step_loss(p, x, c, k, b),
+        boot_loss_override=lambda p, x, c, k, b:
+            model.tp_step_loss(p, x, c, k, b),
+    )
+    s1 = tr_tp.optimizer.init(jax.tree.map(jnp.array, params0))
+    p_tp, _, rep_tp = tr_tp.step(
+        jax.tree.map(jnp.array, params0), s1, x_sb, c_sb, 0, np.arange(S)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rep_tp), np.asarray(rep_dp), rtol=3e-5
+    )
+    _tp_vs_dp_params_close(p_tp, p_dp)
+
+
+def test_tp_name_aware_pspecs_hidden_width_equals_D():
+    """A hidden encoder width EQUAL to the feature dim D used to be
+    silently mis-sharded by the size heuristic (VERDICT r2 item 7); the
+    name-aware specs (model.tp_pspecs + named_tree_pspecs) shard only
+    the true feature axes, so this trains and matches DP."""
+    from jax.sharding import PartitionSpec as P
+
+    from mmvae_tpu.parallel.mesh import named_tree_pspecs
+
+    _need_devices(4)
+    D, B, S = 32, 16, 1
+    model = NBVAE(data_dim=D, covar_dim=1, mean_encoding=(D,),
+                  do_relu=True)
+    params0 = model.init(jax.random.PRNGKey(0))
+
+    pspecs = model.tp_pspecs(params0)
+    # the hidden->hidden stack layers must be replicated even though
+    # their sizes equal D; the first layer is a (D, D) ROW shard
+    assert pspecs["mu_encoding_1"]["weight"] == P("model", None)
+    assert pspecs["mu_encoding_1"]["bias"] == P()
+    assert pspecs["mu_representation_mean"]["weight"] == P()
+    assert pspecs["mu_decoding"]["weight"] == P(None, "model")
+    assert pspecs["mu_decoding"]["bias"] == P("model")
+
+    # optimizer state inherits by trailing dict path
+    import optax
+
+    opt_state = optax.adam(1e-3).init(params0)
+    o_specs = named_tree_pspecs(opt_state, pspecs)
+    flat = {
+        tuple(k.key for k in path
+              if isinstance(k, jax.tree_util.DictKey)): s
+        for path, s in jax.tree_util.tree_leaves_with_path(
+            o_specs, is_leaf=lambda s: isinstance(s, P))
+    }
+    assert flat[("mu_encoding_1", "weight")] == P("model", None)
+    assert flat[("mu_representation_mean", "weight")] == P()
+
+    rng = np.random.default_rng(5)
+    x_sb = rng.poisson(1.0, size=(S, B, D)).astype(np.float32)
+    c_sb = np.ones((S, B, 1), np.float32)
+    topt = TrainingOptions(nboot=1, superbatch=S, seed=0)
+
+    mesh_dp = make_mesh(devices=jax.devices()[:2])
+    tr_dp = Trainer(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        lambda x, o, b: nb_loss(x, o, b), topt, mesh=mesh_dp,
+        dp_shard_map=True,
+        report_loss_override=lambda p, x, c, k, b:
+            model.fused_step_report(p, x, c, k, b),
+        boot_loss_override=lambda p, x, c, k, b:
+            model.fused_step_boot(p, x, c, k, b),
+    )
+    s0 = tr_dp.optimizer.init(jax.tree.map(jnp.array, params0))
+    p_dp, _, rep_dp = tr_dp.step(
+        jax.tree.map(jnp.array, params0), s0, x_sb, c_sb, 0, np.arange(S)
+    )
+
+    mesh_tp = make_mesh(model_parallel=2, devices=jax.devices()[:4])
+    tr_tp = Trainer(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        lambda x, o, b: nb_loss(x, o, b), topt, mesh=mesh_tp,
+        tp_shard_map=True, data_dim=D, tp_param_pspecs=pspecs,
+        report_loss_override=lambda p, x, c, k, b:
+            model.fused_step_report_tp(p, x, c, k, b),
+        boot_loss_override=lambda p, x, c, k, b:
+            model.fused_step_boot_tp(p, x, c, k, b),
+    )
+    s1 = tr_tp.optimizer.init(jax.tree.map(jnp.array, params0))
+    p_tp, _, rep_tp = tr_tp.step(
+        jax.tree.map(jnp.array, params0), s1, x_sb, c_sb, 0, np.arange(S)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rep_tp), np.asarray(rep_dp), rtol=3e-5
+    )
+    _tp_vs_dp_params_close(p_tp, p_dp)
