@@ -23,6 +23,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -553,19 +554,21 @@ struct BatchScatter {
 //   out[B * D]     : row-major (B, D) dense batch, pre-zeroed by caller
 //
 // Returns number of scattered values, or -1 on error.
-int64_t mmvae_read_batch(const char *path, const int64_t *begs,
-                         const int64_t *ends, int64_t nblocks,
-                         const int64_t *ucols, int64_t nu,
-                         const int64_t *dup_start, const int64_t *dup_flat,
-                         int64_t D, float *out) {
+// Decode block ranges [b0, b1) of the batch through one private reader,
+// scattering via `sc`.  Returns false on I/O error.  Thread-safe: every
+// call owns its BgzfIn (FILE* + z_stream) and the scatter targets are
+// disjoint across ranges — each requested column lives in exactly ONE
+// coalesced range (data/block.py builds them from the sorted unique
+// columns), and a column's duplicate slots are all written by the range
+// that owns the column.
+static bool scan_ranges(const char *path, const int64_t *begs,
+                        const int64_t *ends, int64_t b0, int64_t b1,
+                        BatchScatter &sc) {
     BgzfIn in;
-    if (!in.open(path)) return -1;
-
-    BatchScatter sc{ucols, nu, dup_start, dup_flat, D, out};
-    sc.init();
+    if (!in.open(path)) return false;
 
     std::string carry;
-    for (int64_t b = 0; b < nblocks; ++b) {
+    for (int64_t b = b0; b < b1; ++b) {
         in.seek_voffset(begs[b]);
         const int64_t end_vo = ends[b];
         carry.clear();
@@ -649,7 +652,61 @@ int64_t mmvae_read_batch(const char *path, const int64_t *begs,
             carry.clear();
         }
     }
+    return true;
+}
+
+int64_t mmvae_read_batch(const char *path, const int64_t *begs,
+                         const int64_t *ends, int64_t nblocks,
+                         const int64_t *ucols, int64_t nu,
+                         const int64_t *dup_start, const int64_t *dup_flat,
+                         int64_t D, float *out) {
+    BatchScatter sc{ucols, nu, dup_start, dup_flat, D, out};
+    sc.init();
+    if (!scan_ranges(path, begs, ends, 0, nblocks, sc)) return -1;
     return sc.nwritten;
+}
+
+// Threaded variant: the batch's block ranges split across `nthreads`
+// decoder threads, each with its own BgzfIn + z_stream, all scattering
+// into the shared pre-zeroed `out`.  Output is thread-count-invariant
+// (disjoint ranges => disjoint output rows; see scan_ranges).  Designed
+// for multi-core TPU hosts feeding several chips; on a 1-core host it
+// degrades to the serial path.
+int64_t mmvae_read_batch_mt(const char *path, const int64_t *begs,
+                            const int64_t *ends, int64_t nblocks,
+                            const int64_t *ucols, int64_t nu,
+                            const int64_t *dup_start,
+                            const int64_t *dup_flat, int64_t D, float *out,
+                            int nthreads) {
+    if ((int64_t)nthreads > nblocks) nthreads = (int)nblocks;
+    if (nthreads <= 1)
+        return mmvae_read_batch(path, begs, ends, nblocks, ucols, nu,
+                                dup_start, dup_flat, D, out);
+
+    std::vector<BatchScatter> scs(
+        (size_t)nthreads, BatchScatter{ucols, nu, dup_start, dup_flat, D, out});
+    std::vector<char> ok((size_t)nthreads, 1);
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)nthreads);
+    // contiguous block partition: ranges are column-sorted, so chunks
+    // keep each thread's file reads roughly sequential
+    for (int t = 0; t < nthreads; ++t) {
+        int64_t b0 = nblocks * t / nthreads;
+        int64_t b1 = nblocks * (t + 1) / nthreads;
+        scs[(size_t)t].init();
+        pool.emplace_back([&, t, b0, b1] {
+            if (!scan_ranges(path, begs, ends, b0, b1, scs[(size_t)t]))
+                ok[(size_t)t] = 0;
+        });
+    }
+    int64_t total = 0;
+    bool all_ok = true;
+    for (int t = 0; t < nthreads; ++t) {
+        pool[(size_t)t].join();
+        total += scs[(size_t)t].nwritten;
+        if (!ok[(size_t)t]) all_ok = false;
+    }
+    return all_ok ? total : -1;
 }
 
 }  // extern "C"

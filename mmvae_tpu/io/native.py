@@ -33,8 +33,8 @@ def _build() -> bool:
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-shared",
-             _SRC, "-lz", "-o", _SO],
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
+             "-shared", _SRC, "-lz", "-o", _SO],
             check=True,
             capture_output=True,
             timeout=120,
@@ -96,6 +96,10 @@ def _bind(lib) -> None:
             _i64, _pf32,               # D, out
         ]
         lib.mmvae_read_batch.restype = _i64
+        lib.mmvae_read_batch_mt.argtypes = (
+            lib.mmvae_read_batch.argtypes + [ctypes.c_int]
+        )
+        lib.mmvae_read_batch_mt.restype = _i64
         _pi32 = ctypes.POINTER(ctypes.c_int32)
         lib.mmvae_read_csc.argtypes = [
             ctypes.c_char_p, _i64,
@@ -265,6 +269,16 @@ def dense_fill(rows: np.ndarray, vals: np.ndarray, indptr: np.ndarray,
     return out
 
 
+def decode_threads() -> int:
+    """Decoder thread count for the streaming batch reader: the CPU
+    count by default (the design target is a multi-core TPU host
+    feeding several chips), clamped by MMVAE_DECODE_THREADS."""
+    env = os.environ.get("MMVAE_DECODE_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 1)
+
+
 def read_batch(
     path: str,
     begs: np.ndarray,
@@ -273,8 +287,12 @@ def read_batch(
     dup_start: np.ndarray,
     dup_flat: np.ndarray,
     out: np.ndarray,
+    nthreads: int | None = None,
 ) -> int:
-    """Fused block-read + scatter into the (B, D) row-major batch buffer."""
+    """Fused block-read + scatter into the (B, D) row-major batch
+    buffer.  Block ranges decode across ``nthreads`` native threads
+    (default :func:`decode_threads`); output is thread-count-invariant
+    because each requested column lives in exactly one range."""
     lib = _load()
     begs = np.ascontiguousarray(begs, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
@@ -282,12 +300,14 @@ def read_batch(
     dup_start = np.ascontiguousarray(dup_start, dtype=np.int64)
     dup_flat = np.ascontiguousarray(dup_flat, dtype=np.int64)
     assert out.dtype == np.float32 and out.flags.c_contiguous
-    n = lib.mmvae_read_batch(
+    if nthreads is None:
+        nthreads = decode_threads()
+    n = lib.mmvae_read_batch_mt(
         os.fspath(path).encode(),
         begs.ctypes.data_as(_pi64), ends.ctypes.data_as(_pi64), len(begs),
         ucols.ctypes.data_as(_pi64), len(ucols),
         dup_start.ctypes.data_as(_pi64), dup_flat.ctypes.data_as(_pi64),
-        out.shape[1], out.ctypes.data_as(_pf32),
+        out.shape[1], out.ctypes.data_as(_pf32), int(nthreads),
     )
     if n < 0:
         raise IOError(f"native read_batch failed for {path}")

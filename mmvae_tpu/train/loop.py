@@ -196,12 +196,9 @@ class Trainer:
         self._step_rec = None  # recording variant, built on first use
         self._base_key = jax.random.PRNGKey(opt.seed)
 
-    def _build_tp_step(self, params, opt_state):
-        """shard_map step over ('data', 'model') with per-leaf specs."""
-        import functools
-
-        from jax.sharding import PartitionSpec as P
-
+    def _tp_specs(self, params, opt_state):
+        """(param, opt-state) PartitionSpec trees for the TP shard_map,
+        building the cross-shard clip as a side effect."""
         from ..parallel.mesh import named_tree_pspecs, tree_pspecs
 
         assert self._tp_data_dim is not None, "tp_shard_map needs data_dim"
@@ -213,6 +210,15 @@ class Trainer:
             o_specs = tree_pspecs(opt_state, self._tp_data_dim)
         self._tp_clip = self._make_tp_clip(p_specs, "model",
                                            self.opt.grad_clip)
+        return p_specs, o_specs
+
+    def _build_tp_step(self, params, opt_state):
+        """shard_map step over ('data', 'model') with per-leaf specs."""
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        p_specs, o_specs = self._tp_specs(params, opt_state)
         step = jax.shard_map(
             functools.partial(self._superbatch_step, axis_name="data"),
             mesh=self.mesh,
@@ -638,6 +644,78 @@ class Trainer:
         return run
 
     # ------------------------------------------------------------------
+    def make_ondevice_epoch_tp(self, data_dense_perm, ntot: int, B: int,
+                               params, opt_state, covar_dim: int = 1):
+        """Whole-epoch runner for device-resident data under KERNEL-AWARE
+        TENSOR PARALLELISM (+ data parallelism): the dense array is
+        sharded over ('data', 'model') — rows in the DP (device, batch,
+        slot) order (:func:`~mmvae_tpu.ops.densify.dp_row_permutation`
+        over the 'data' axis), columns D-sharded — and the epoch runs
+        under the same 2-D ``shard_map`` the TP batch step uses, so the
+        highest-throughput data path composes with the feature-sharded
+        compute path (VERDICT r2 item 4).  Per-batch semantics are
+        exactly ``_batch_step(axis_name='data')`` with the TP loss
+        overrides and cross-shard clip, so trajectories equal the host
+        TP path.
+
+        Restricted to the all-ones covariate, a wrap-free schedule, and
+        single-host runs; recording falls back to the host loop (the TP
+        record outputs are feature-sharded structures, matching
+        :meth:`can_step_record`)."""
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert self.mesh is not None and self.tp_shard_map
+        ndata = self.mesh.shape["data"]
+        assert ntot % B == 0 and B % ndata == 0
+        nbatch = ntot // B
+        Bl = B // ndata
+
+        p_specs, o_specs = self._tp_specs(params, opt_state)
+
+        def epoch_fn(params, opt_state, epoch_f, base_key, data):
+            ekey = jax.random.fold_in(base_key,
+                                      jnp.asarray(epoch_f, jnp.int32))
+
+            def scan_body(carry, b):
+                st, opt_st = carry
+                x = jax.lax.dynamic_slice_in_dim(data, b * Bl, Bl, 0)
+                if jnp.issubdtype(x.dtype, jnp.integer):
+                    x = x.astype(jnp.float32)
+                c = jnp.ones((Bl, covar_dim), jnp.float32)
+                key = jax.random.fold_in(ekey, b)
+                st, opt_st, rep = self._batch_step(
+                    st, opt_st, x, c, epoch_f, key, axis_name="data"
+                )
+                return (st, opt_st), rep
+
+            (st, opt_st), reps = jax.lax.scan(
+                scan_body, (params, opt_state),
+                jnp.arange(nbatch, dtype=jnp.int32),
+            )
+            return st, opt_st, reps
+
+        step = jax.shard_map(
+            epoch_fn,
+            mesh=self.mesh,
+            in_specs=(p_specs, o_specs, P(), P(), P("data", "model")),
+            out_specs=(p_specs, o_specs, P()),
+            check_vma=False,
+        )
+        jitted = jax.jit(step, donate_argnums=(0, 1))
+        sharding = NamedSharding(self.mesh, P("data", "model"))
+        data_sharded = jax.device_put(data_dense_perm, sharding)
+
+        def run(params, opt_state, epoch: int, record: bool = False):
+            assert not record
+            return jitted(params, opt_state, jnp.float32(epoch),
+                          self._base_key, data_sharded)
+
+        run.can_record = False
+        return run
+
+    # ------------------------------------------------------------------
     def _put(self, arr: np.ndarray, covar: bool = False):
         """Device-put a (S, B, D) superbatch, sharded over the mesh's
         batch axis when data parallelism is on (TP additionally shards
@@ -858,8 +936,15 @@ def train_vae_model(
         and ntot % B_global == 0
         and B_global % mesh.shape["data"] == 0
     )
+    # TP x on-device (VERDICT r2 item 4): the dense-resident epoch runs
+    # under the 2-D ('data','model') shard_map (single host, wrap-free)
+    tp_ondevice_ok = (
+        mesh is not None and tp_shard_map and host_count == 1
+        and ntot % B_global == 0
+        and B_global % mesh.shape["data"] == 0
+    )
     if not ondevice and getattr(opt, "auto_ondevice", False) and (
-        mesh is None or dp_ondevice_ok
+        mesh is None or dp_ondevice_ok or tp_ondevice_ok
     ):
         from ..data.block import MtxMemoryBlock
 
@@ -884,7 +969,24 @@ def train_vae_model(
 
     epoch_runner = None
     if ondevice and mesh is not None:
-        if dp_ondevice_ok and _is_all_ones(covar_block):
+        if tp_ondevice_ok and _is_all_ones(covar_block):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..ops.densify import dp_row_permutation
+
+            ndata = mesh.shape["data"]
+            TLOG(f"Loading data on device (dense-resident, TP layout "
+                 f"over (data={ndata}, model={mesh.shape['model']}))")
+            perm = dp_row_permutation(ntot, B_global, ndata)
+            dense = _build_dense(
+                data_block, order=perm,
+                sharding=NamedSharding(mesh, P("data", "model")),
+            )
+            epoch_runner = trainer.make_ondevice_epoch_tp(
+                dense, ntot, B_global, params, opt_state,
+                covar_dim=covar_block.nfeature(),
+            )
+        elif dp_ondevice_ok and _is_all_ones(covar_block):
             from ..ops.densify import dp_row_permutation
 
             ndev = mesh.shape["data"]
@@ -921,9 +1023,9 @@ def train_vae_model(
                           else None),
             )
         else:
-            TLOG("on-device epochs with a mesh need --dp_shard, a "
-                 "wrap-free schedule, and the all-ones covariate; "
-                 "falling back to the host loop")
+            TLOG("on-device epochs with a mesh need --dp_shard or "
+                 "--tensor_parallel, a wrap-free schedule, and the "
+                 "all-ones covariate; falling back to the host loop")
             ondevice = False
     elif ondevice:
         from ..ops.densify import DeviceCSC

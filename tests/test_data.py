@@ -44,6 +44,29 @@ def test_data_block_duplicates(mtx_file):
     assert np.array_equal(got, dens[:, sub].T)
 
 
+def test_read_batch_thread_invariant(mtx_file, monkeypatch):
+    """The native streaming reader decodes a batch's block ranges across
+    N threads (each with its own BGZF reader + z_stream) into the shared
+    output; the result must be identical for any thread count.  The
+    batch is duplicate-heavy and column-scattered (several coalesced
+    ranges), and the file carries %%-comment header lines."""
+    from mmvae_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    path, idx, dens = mtx_file
+    sub = np.array([3, 3, 3, 7, 7, 50, 50, 50, 51, 52, 90, 90,
+                    100, 100, 100, 119, 0, 1, 2, 10, 30, 30, 60, 61])
+    db = MtxDataBlock(path, idx, len(sub))
+    outs = {}
+    for n in (1, 4):
+        monkeypatch.setenv("MMVAE_DECODE_THREADS", str(n))
+        db.clear()
+        outs[n] = db.read(sub).copy()
+    assert np.array_equal(outs[1], outs[4])
+    assert np.array_equal(outs[1], dens[:, sub].T)
+
+
 def test_memory_block_equivalence(mtx_file, rng):
     """Out-of-core block == in-memory block on random subsets — the
     property the reference implicitly relies on but never asserts
