@@ -40,7 +40,7 @@ def main() -> None:
 
     D = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     B = 100          # reference default batch size (mmvae.hh:35)
-    S = 64           # minibatches per dispatch (amortizes the ~2.3ms tunnel dispatch gap; saturates by 64)
+    S = 64           # batches per on-device epoch (one dispatch per epoch)
     NBOOT = 3
 
     from mmvae_tpu.ops.nb_fast import NBFastStep
@@ -71,33 +71,33 @@ def main() -> None:
     opt_state = trainer.optimizer.init(params)
 
     rng = np.random.default_rng(0)
-    # synthetic sparse-ish counts, one superbatch reused (bench measures
-    # the compute path; the input pipeline overlaps via prefetch in
-    # real runs).  Counts ride as int16 — integers are exact, HBM
-    # traffic of the dominant tensor halves (the kernels widen on load).
-    x_sb = rng.poisson(0.5, size=(S, B, D)).astype(np.int16)
-    c_sb = np.ones((S, B, 1), np.float32)
-    x_dev = jnp.asarray(x_sb)
-    c_dev = jnp.asarray(c_sb)
+    # synthetic sparse-ish counts, device-resident as one dense int16
+    # array — the production fast path (on-device epochs, one dispatch
+    # per EPOCH with contiguous-slice batches).  Counts ride as int16:
+    # integers are exact and the HBM traffic of the dominant tensor
+    # halves (the kernels widen on load).
+    import types
 
-    # warmup / compile (3 steps: the first compiles, the next two flush
+    ntot = S * B
+    x_host = rng.poisson(0.5, size=(ntot, D)).astype(np.int16)
+    data_dense = jnp.asarray(x_host)
+    runner = trainer.make_ondevice_epoch(
+        types.SimpleNamespace(D=D), None, ntot, B, covar_dim=1,
+        data_dense=data_dense,
+    )
+
+    # warmup / compile (3 epochs: the first compiles, the next two flush
     # any donation-aliasing recompile and warm the dispatch path)
     for it in range(3):
-        params, opt_state, rep = trainer._step(
-            params, opt_state, x_dev, c_dev, jnp.float32(it),
-            jnp.arange(S, dtype=jnp.int32), trainer._base_key,
-        )
+        params, opt_state, rep = runner(params, opt_state, it)
     np.asarray(rep)
 
-    # timed, pipelined (sync once at the end; per-step fetches through
+    # timed, pipelined (sync once at the end; per-epoch fetches through
     # the axon tunnel cost ~27ms RTT and would swamp the measurement)
     iters = 24
     t0 = time.perf_counter()
     for it in range(iters):
-        params, opt_state, rep = trainer._step(
-            params, opt_state, x_dev, c_dev, jnp.float32(it + 3),
-            jnp.arange(S, dtype=jnp.int32), trainer._base_key,
-        )
+        params, opt_state, rep = runner(params, opt_state, it + 3)
     np.asarray(rep)  # sync
     dt = time.perf_counter() - t0
 

@@ -51,6 +51,54 @@ def _softplus(x):
     return jax.nn.softplus(x)
 
 
+def _use_bf16_data() -> bool:
+    """Store the (B, D) encoder operands (log1p counts / raw counts) in
+    bfloat16 on TPU.
+
+    The TPU's DEFAULT-precision f32 dot rounds BOTH operands to bf16 and
+    accumulates in f32 (verified bitwise on-device: ``a @ b`` equals
+    ``dot(bf16(a), bf16(b), preferred_element_type=f32)`` for the exact
+    (100, 20000) shapes of this path, forward and weight-grad).  Storing
+    the activations pre-rounded is therefore BIT-IDENTICAL on TPU while
+    halving the HBM traffic of the tensors the per-boot encoder re-reads
+    (4 forward + 3 backward passes per batch).  CPU dots are true f32,
+    so this stays TPU-only — the pinned CPU trajectory tests see
+    unchanged math."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _data_mm(a, w):
+    """``a @ w.T`` for a (B, D) data activation and (K, D) parameter
+    rows, differentiable in ``w`` only.
+
+    When ``a`` is bf16 (TPU path, :func:`_use_bf16_data`) both dots cast
+    their operands to bf16 explicitly and accumulate in f32 — the same
+    rounding the DEFAULT f32 dot applies internally, so results (and the
+    f32 weight gradient) are bitwise equal to the f32-stored path."""
+    if a.dtype != jnp.bfloat16:
+        return a @ w.T
+
+    @jax.custom_vjp
+    def mm(w):
+        return jax.lax.dot_general(
+            a, w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def fwd(w):
+        return mm(w), None
+
+    def bwd(_, g):
+        dw = jax.lax.dot_general(
+            g.astype(jnp.bfloat16), a, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (dw,)
+
+    mm.defvjp(fwd, bwd)
+    return mm(w)
+
+
 @dataclass(frozen=True)
 class _Rows:
     """Row indices of the packed (K, D) parameter matrix."""
@@ -114,6 +162,13 @@ class _Rows:
     @property
     def depth_w(self):  # (1, D) — transposed storage
         return self.R + self.C + 7 + self.Rn + self.R + self.H
+
+    @property
+    def nd_rows(self):  # (H+1, D): nu_enc_w rows then the depth row —
+        # adjacent by construction, so the nu/depth encoder matmuls
+        # share ONE pass over the (B, D) counts
+        a = self.R + self.C + 7 + self.Rn + self.R
+        return slice(a, a + self.H + 1)
 
     @property
     def K(self):
@@ -282,9 +337,10 @@ class NBFastStep:
         """
         P, sv = q["P"], q["sv"]
         r = self.rows
+        H = self.rows.H
         sd = _softplus(P[r.ln_x_sd]) + 1e-4                # (D,)
         Wt = P[r.mu_enc_w] / sd                            # (R, D)
-        h = L @ Wt.T - P[r.x_mean] @ Wt.T                  # (B, R)
+        h = _data_mm(L, Wt) - P[r.x_mean] @ Wt.T           # (B, R)
         h = h + self._sv(sv, "mu_encoding.bias")
         if self.model.do_relu:
             h = jax.nn.relu(h)
@@ -299,7 +355,8 @@ class NBFastStep:
             + self._sv(sv, "mu_representation_logvariance.bias"),
             -4.0, 4.0,
         )
-        nu_h = xf @ P[r.nu_enc_w].T + self._sv(sv, "nu_encoding.bias")
+        nd = _data_mm(xf, P[r.nd_rows])                    # (B, H+1)
+        nu_h = nd[:, :H] + self._sv(sv, "nu_encoding.bias")
         nu_mean = (
             nu_h @ self._sv(sv, "nu_representation_mean.weight")
             + self._sv(sv, "nu_representation_mean.bias")
@@ -310,7 +367,7 @@ class NBFastStep:
             -4.0, 4.0,
         )
         depth = _softplus(
-            xf @ P[r.depth_w][:, None] + self._sv(sv, "depth.bias")
+            nd[:, H:] + self._sv(sv, "depth.bias")
         )                                                  # (B, 1)
         return mu_mean, mu_lnvar, nu_mean, nu_lnvar, depth
 
@@ -363,8 +420,13 @@ class NBFastStep:
         k_rep, k_boot = jax.random.split(key)
         B = x.shape[0]
 
-        L = jnp.log1p(x.astype(jnp.float32))
         xf = x.astype(jnp.float32)
+        L = jnp.log1p(xf)
+        if _use_bf16_data():
+            # bit-identical on TPU (see _use_bf16_data), half the HBM
+            # reads for the tensors every boot's encoder touches
+            L = L.astype(jnp.bfloat16)
+            xf = xf.astype(jnp.bfloat16)
 
         report = self._loss(q, L, xf, x, c, None, k_rep, beta,
                             include_const=True, boot=False)

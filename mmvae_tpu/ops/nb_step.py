@@ -133,16 +133,28 @@ def xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb=None,
 # shared in-kernel pieces
 # ----------------------------------------------------------------------
 
-def _compute_h(wt, zm_ref, c_ref, R: int, C: int):
-    """Logits tile from resident latents and the stacked weight tile.
+_HI = jax.lax.Precision.DEFAULT
 
-    Stacked weight rows: [wd(R) | wc(C) | bias2 | wn(Rn) | bias_n]."""
-    h = wt[R + C:R + C + 1, :]
-    for r in range(R):
-        h = h + zm_ref[:, r:r + 1] * wt[r:r + 1, :]
-    for q in range(C):
-        h = h + c_ref[:, q:q + 1] * wt[R + q:R + q + 1, :]
-    return h
+
+def _mm(a, b, ca: int, cb: int):
+    """In-kernel MXU contraction: contract ``a`` dim ``ca`` with ``b``
+    dim ``cb``, f32 accumulation.  DEFAULT precision (bf16 multiplies)
+    matches the plain-XLA spec, whose dots are DEFAULT too — Mosaic
+    supports only DEFAULT/HIGHEST, and HIGHEST's multi-pass relayouts
+    measured SLOWER than the VPU fma chain this replaces (98k vs 130k
+    cells/sec).  Golden-trajectory impact validated end-to-end against
+    the documented 101-epoch ELBO band (BASELINE_MEASURED.md)."""
+    return jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32,
+    )
+
+
+def _compute_h(wt, zc, R: int, C: int):
+    """Logits tile from the resident latent block zc = [zm | c] and the
+    stacked weight tile (rows: [wd(R) | wc(C) | bias2 | wn(Rn) |
+    bias_n]) — one (bp, R+C) x (R+C, td) MXU pass plus the bias row."""
+    return _mm(zc, wt[:R + C, :], 1, 0) + wt[R + C:R + C + 1, :]
 
 
 def _compute_nupre(wt, zn_ref, R: int, C: int, Rn: int):
@@ -249,7 +261,7 @@ def _fast_products(x, nu, need_dg: bool, need_const: bool):
 # ----------------------------------------------------------------------
 
 def _make_lse_kernel(R: int, C: int, td: int, D: int):
-    def kernel(zm_ref, c_ref, w_ref, lse_ref, m_ref, s_ref):
+    def kernel(zc_ref, w_ref, lse_ref, m_ref, s_ref):
         j = pl.program_id(0)
         nj = pl.num_programs(0)
 
@@ -258,7 +270,7 @@ def _make_lse_kernel(R: int, C: int, td: int, D: int):
             m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
             s_ref[:] = jnp.zeros_like(s_ref)
 
-        h = _compute_h(w_ref[:], zm_ref, c_ref, R, C)
+        h = _compute_h(w_ref[:], zc_ref[:], R, C)
         cols = j * td + jax.lax.broadcasted_iota(jnp.int32, (1, td), 1)
         h = jnp.where(cols < D, h, -jnp.inf)
         m_old = m_ref[:]
@@ -280,12 +292,13 @@ def _lse_call(zm, c, W, bp: int, Dp: int, td: int, D: int, R: int, C: int):
     nj = Dp // td
     Tp = W.shape[0]
     kernel = _make_lse_kernel(R, C, td, D)
+    zc = jnp.concatenate([zm, c], axis=1)
     return pl.pallas_call(
         kernel,
         grid=(nj,),
         in_specs=[
-            pl.BlockSpec((bp, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, C), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, R + C), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bp, 1), lambda j: (0, 0),
@@ -296,7 +309,7 @@ def _lse_call(zm, c, W, bp: int, Dp: int, td: int, D: int, R: int, C: int):
             pltpu.VMEM((bp, 1), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(zm, c, W)
+    )(zc, W)
 
 
 # ----------------------------------------------------------------------
@@ -308,7 +321,7 @@ def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
                        nu_exp: bool = False):
     pbi = R + C + 2 + Rn  # stacked row of the post-softmax log-bias
 
-    def kernel(x_ref, zm_ref, c_ref, zn_ref, depth_ref, lse_ref, w_ref,
+    def kernel(x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
                nll_ref, acc_ref, lg_ref):
         j = pl.program_id(0)
         nj = pl.num_programs(0)
@@ -320,7 +333,7 @@ def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
         wt = w_ref[:]
         valid = _col_valid(j, td, D, B, bp)
         x = x_ref[:].astype(jnp.float32)
-        h = _compute_h(wt, zm_ref, c_ref, R, C)
+        h = _compute_h(wt, zc_ref[:], R, C)
         ls = h - lse_ref[:]
         p = jnp.exp(ls)
         if has_pb:
@@ -383,13 +396,14 @@ def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
     x_is_int = jnp.issubdtype(x.dtype, jnp.integer)
     kernel = _make_value_kernel(R, C, Rn, td, D, B, bp, with_const,
                                 x_is_int, has_pb, nu_exp)
+    zc = jnp.concatenate([zm, c], axis=1)
     nll = pl.pallas_call(
         kernel,
         grid=(nj,),
         in_specs=[
             pl.BlockSpec((bp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, C), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, R + C), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -403,7 +417,7 @@ def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
             pltpu.VMEM((bp, td), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(x, zm, c, zn, depth, lse, W)
+    )(x, zc, zn, depth, lse, W)
     return nll[0, 0]
 
 
@@ -417,7 +431,7 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
     base = R + C + 1  # rows: wd | wc | bias2 | wn | bias_n | [pb]
     pbi = base + Rn + 1
 
-    def kernel(x_ref, zm_ref, c_ref, zn_ref, depth_ref, lse_ref, w_ref,
+    def kernel(x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
                nll_ref, gout_ref, rsum_ref, u1_ref, dzn_ref, dd_ref,
                acc_ref, rs_acc, u1_acc, dzn_acc, dd_acc, lg_ref, dg_ref):
         j = pl.program_id(0)
@@ -435,7 +449,7 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
         valid = _col_valid(j, td, D, B, bp)
         x = x_ref[:].astype(jnp.float32)
         depth = depth_ref[:]
-        h = _compute_h(wt, zm_ref, c_ref, R, C)
+        h = _compute_h(wt, zc_ref[:], R, C)
         ls = h - lse_ref[:]
         p = jnp.exp(ls)
         if has_pb:
@@ -506,32 +520,17 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
                 valid & in_range, dnu * jax.nn.sigmoid(nupre), 0.0
             )
 
-        # per-row accumulators
+        # per-row accumulators (dls/dnupre @ weight-rows ride the MXU)
         rs_acc[:] += jnp.sum(dls, axis=1, keepdims=True)
         dd_acc[:] += jnp.sum(dmu * pe, axis=1, keepdims=True)
-        for r in range(R):
-            u1_acc[:, r:r + 1] += jnp.sum(
-                dls * wt[r:r + 1, :], axis=1, keepdims=True
-            )
-        for r in range(Rn):
-            dzn_acc[:, r:r + 1] += jnp.sum(
-                dnupre * wt[base + r:base + r + 1, :], axis=1, keepdims=True
-            )
+        u1_acc[:] += _mm(dls, wt[:R, :], 1, 1)
+        dzn_acc[:] += _mm(dnupre, wt[base:base + Rn, :], 1, 1)
 
-        # per-tile weight-gradient rows (stacked like the input rows)
-        for r in range(R):
-            gout_ref[r:r + 1, :] = jnp.sum(
-                zm_ref[:, r:r + 1] * dls, axis=0, keepdims=True
-            )
-        for q in range(C):
-            gout_ref[R + q:R + q + 1, :] = jnp.sum(
-                c_ref[:, q:q + 1] * dls, axis=0, keepdims=True
-            )
+        # per-tile weight-gradient rows (stacked like the input rows):
+        # the latent contractions are one (R+C, bp) x (bp, td) MXU pass
+        gout_ref[:R + C, :] = _mm(zc_ref[:], dls, 0, 0)
         gout_ref[R + C:R + C + 1, :] = jnp.sum(dls, axis=0, keepdims=True)
-        for r in range(Rn):
-            gout_ref[base + r:base + r + 1, :] = jnp.sum(
-                zn_ref[:, r:r + 1] * dnupre, axis=0, keepdims=True
-            )
+        gout_ref[base:base + Rn, :] = _mm(zn_ref[:], dnupre, 0, 0)
         gout_ref[base + Rn:base + Rn + 1, :] = jnp.sum(
             dnupre, axis=0, keepdims=True
         )
@@ -561,13 +560,14 @@ def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
     x_is_int = jnp.issubdtype(x.dtype, jnp.integer)
     kernel = _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int,
                                   has_pb, nu_exp, need_value)
+    zc = jnp.concatenate([zm, c], axis=1)
     nll, gout, rsum, u1, dzn, dd = pl.pallas_call(
         kernel,
         grid=(nj,),
         in_specs=[
             pl.BlockSpec((bp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, C), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, R + C), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -599,7 +599,7 @@ def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
             pltpu.VMEM((bp, td), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(x, zm, c, zn, depth, lse, W)
+    )(x, zc, zn, depth, lse, W)
     return nll[0, 0], gout, rsum, u1, dzn, dd
 
 
@@ -608,7 +608,7 @@ def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
 # ----------------------------------------------------------------------
 
 def _make_finish_kernel(R, C, td, D):
-    def kernel(zm_ref, c_ref, lse_ref, rsum_ref, w_ref,
+    def kernel(zc_ref, lse_ref, rsum_ref, w_ref,
                fout_ref, u2_ref, u2_acc):
         j = pl.program_id(0)
         nj = pl.num_programs(0)
@@ -618,21 +618,12 @@ def _make_finish_kernel(R, C, td, D):
             u2_acc[:] = jnp.zeros_like(u2_acc)
 
         wt = w_ref[:]
-        h = _compute_h(wt, zm_ref, c_ref, R, C)
+        h = _compute_h(wt, zc_ref[:], R, C)
         cols = j * td + jax.lax.broadcasted_iota(jnp.int32, (1, td), 1)
         p = jnp.where(cols < D, jnp.exp(h - lse_ref[:]), 0.0)
         pr = p * rsum_ref[:]
-        for r in range(R):
-            fout_ref[r:r + 1, :] = jnp.sum(
-                zm_ref[:, r:r + 1] * pr, axis=0, keepdims=True
-            )
-            u2_acc[:, r:r + 1] += jnp.sum(
-                p * wt[r:r + 1, :], axis=1, keepdims=True
-            )
-        for q in range(C):
-            fout_ref[R + q:R + q + 1, :] = jnp.sum(
-                c_ref[:, q:q + 1] * pr, axis=0, keepdims=True
-            )
+        fout_ref[:R + C, :] = _mm(zc_ref[:], pr, 0, 0)
+        u2_acc[:] += _mm(p, wt[:R, :], 1, 1)
         fout_ref[R + C:R + C + 1, :] = jnp.sum(pr, axis=0, keepdims=True)
 
         @pl.when(j == nj - 1)
@@ -650,12 +641,13 @@ def _finish_call(zm, c, lse, rsum, W, *, D):
     nj = Dp // td
     R, C = zm.shape[1], c.shape[1]
     kernel = _make_finish_kernel(R, C, td, D)
+    zc = jnp.concatenate([zm, c], axis=1)
     fout, u2 = pl.pallas_call(
         kernel,
         grid=(nj,),
         in_specs=[
-            pl.BlockSpec((bp, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, C), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, R + C), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -670,7 +662,7 @@ def _finish_call(zm, c, lse, rsum, W, *, D):
         ),
         scratch_shapes=[pltpu.VMEM((bp, R), jnp.float32)],
         interpret=_INTERPRET,
-    )(zm, c, lse, rsum, W)
+    )(zc, lse, rsum, W)
     return fout, u2
 
 
