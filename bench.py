@@ -40,7 +40,9 @@ def main() -> None:
 
     D = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     B = 100          # reference default batch size (mmvae.hh:35)
-    S = 64           # batches per on-device epoch (one dispatch per epoch)
+    S = 256          # batches per on-device epoch (one dispatch per epoch;
+                     # amortizes the pack/unpack + dispatch prologue the
+                     # way real epochs do — the north-star run has 1000)
     NBOOT = 3
 
     from mmvae_tpu.ops.nb_fast import NBFastStep
@@ -94,7 +96,7 @@ def main() -> None:
 
     # timed, pipelined (sync once at the end; per-epoch fetches through
     # the axon tunnel cost ~27ms RTT and would swamp the measurement)
-    iters = 24
+    iters = 12
     t0 = time.perf_counter()
     for it in range(iters):
         params, opt_state, rep = runner(params, opt_state, it + 3)

@@ -55,7 +55,7 @@ from .nb_elbo import (
 
 _INTERPRET = False  # flipped by tests on CPU
 
-_TD = 512          # lane tile width (wider measured slower on v5e)
+_TD = 1024          # lane tile width (wider measured slower on v5e)
 _XMAX_FAST = 7.0   # fast path covers integer counts 0..7
 
 
