@@ -67,6 +67,19 @@ def _use_bf16_data() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _encoder_views(x):
+    """(log1p(x), float(x)) encoder operands from raw counts, in the
+    dtype :func:`_use_bf16_data` selects.  XLA fuses these elementwise
+    conversions into the consuming dot's x read — no materialized
+    (B, D) intermediate."""
+    xf = x.astype(jnp.float32)
+    L = jnp.log1p(xf)
+    if _use_bf16_data():
+        L = L.astype(jnp.bfloat16)
+        xf = xf.astype(jnp.bfloat16)
+    return L, xf
+
+
 def _data_mm(a, w):
     """``a @ w.T`` for a (B, D) data activation and (K, D) parameter
     rows, differentiable in ``w`` only.
@@ -381,22 +394,72 @@ class NBFastStep:
         return wd, wc, bias2, wn, bias_n
 
     @staticmethod
-    def _reparam(key, mean, lnvar):
+    def _reparam(eps, mean, lnvar):
         sig = jnp.exp(lnvar / 2.0)
-        eps = jax.random.normal(key, lnvar.shape, lnvar.dtype)
         return mean + eps * sig
 
-    def _loss(self, q, L, xf, x, c, ridx, key, beta, include_const,
+    # ------------------------------------------------------------------
+    # randomness
+    # ------------------------------------------------------------------
+    def _draw_batch(self, key, B: int):
+        """Every random draw one batch step consumes, in the exact
+        derivation order of the in-step schedule (split -> report eps;
+        fold_in(i) -> split -> resample idx, boot eps).  Counter-based
+        PRNG makes each draw a pure function of its key, so computing
+        them here (or vmapped over batches) is bitwise identical to
+        drawing inside the step."""
+        R, Rn = self.rows.R, self.rows.Rn
+        k_rep, k_boot = jax.random.split(key)
+        km, kn = jax.random.split(k_rep)
+        rep_eps = (jax.random.normal(km, (B, R)),
+                   jax.random.normal(kn, (B, Rn)))
+
+        def boot(i):
+            kb = jax.random.fold_in(k_boot, i)
+            k_idx, k_fwd = jax.random.split(kb)
+            ridx = jax.random.randint(k_idx, (B,), 0, B)
+            bm, bn = jax.random.split(k_fwd)
+            return (ridx, jax.random.normal(bm, (B, R)),
+                    jax.random.normal(bn, (B, Rn)))
+
+        ridx, be_mu, be_nu = jax.vmap(boot)(
+            jnp.arange(self.opt.nboot, dtype=jnp.uint32)
+        )
+        return dict(rep_eps=rep_eps, ridx=ridx, boot_eps=(be_mu, be_nu))
+
+    def draw_rand(self, ekey, batch_ids, B: int, axis_name=None):
+        """Pre-draw :meth:`_draw_batch` for a whole epoch of batch ids,
+        vectorized.  Hoisting the threefry chains out of the sequential
+        batch scan removes ~25 us/batch of tiny key-derivation kernels
+        from the hot path; the scan consumes the stacked pytree as a
+        sliced ``xs`` input.  Bitwise identical to in-step draws."""
+
+        def one(b):
+            key = jax.random.fold_in(ekey, b)
+            if axis_name is not None:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(axis_name)
+                )
+            return self._draw_batch(key, B)
+
+        return jax.vmap(one)(batch_ids)
+
+    def _loss(self, q, L, xf, x, c, ridx, eps, beta, include_const,
               boot: bool):
-        heads = self._heads(q, L, xf, c)
         if ridx is not None:
-            heads = tuple(jnp.take(t, ridx, axis=0) for t in heads)
+            # resample the INPUT rows, not the encoder outputs: the
+            # forward is row-wise so heads(x[ridx]) == heads(x)[ridx]
+            # bitwise, but differentiating through a row-gather makes
+            # XLA scatter-add the head cotangents back over all B rows
+            # (~36 us/batch measured) — encoding the gathered rows
+            # instead costs the same dots with plain dense backward
             x = jnp.take(x, ridx, axis=0)
             c = jnp.take(c, ridx, axis=0)
+            L, xf = _encoder_views(x)
+        heads = self._heads(q, L, xf, c)
         mu_mean, mu_lnvar, nu_mean, nu_lnvar, depth = heads
-        k_mu, k_nu = jax.random.split(key)
-        z_mu = self._reparam(k_mu, mu_mean, mu_lnvar)
-        z_nu = self._reparam(k_nu, nu_mean, nu_lnvar)
+        z_mu = self._reparam(eps[0], mu_mean, mu_lnvar)
+        z_nu = self._reparam(eps[1], nu_mean, nu_lnvar)
         kl = gaussian_kl(mu_mean, mu_lnvar) + gaussian_kl(nu_mean, nu_lnvar)
         wd, wc, bias2, wn, bias_n = self._kernel_rows(q["P"])
         # boot losses are consumed by jax.grad only — the grad-only
@@ -408,38 +471,39 @@ class NBFastStep:
         return (nll + beta * kl) / x.shape[0]
 
     # ------------------------------------------------------------------
-    def batch_step(self, q, opt_state, x, c, epoch_f, key,
-                   axis_name=None):
+    def batch_step(self, q, opt_state, x, c, epoch_f, key=None,
+                   axis_name=None, rand=None):
         """One reference batch step on packed state: reporting forward +
-        nboot bootstrap-resampled Adam steps (mmvae_alg.hh:277-311)."""
+        nboot bootstrap-resampled Adam steps (mmvae_alg.hh:277-311).
+
+        Randomness comes either from ``key`` (drawn in-step) or from a
+        pre-drawn ``rand`` slice of :meth:`draw_rand` — bitwise
+        equivalent; epoch runners pass ``rand`` so the threefry chains
+        run once, vectorized, outside the batch scan."""
         beta = kl_weight_schedule(
             epoch_f, self.kl_max, self.kl_min, self.kl_discount
         )
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        k_rep, k_boot = jax.random.split(key)
         B = x.shape[0]
+        if rand is None:
+            if axis_name is not None:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(axis_name)
+                )
+            rand = self._draw_batch(key, B)
 
-        xf = x.astype(jnp.float32)
-        L = jnp.log1p(xf)
-        if _use_bf16_data():
-            # bit-identical on TPU (see _use_bf16_data), half the HBM
-            # reads for the tensors every boot's encoder touches
-            L = L.astype(jnp.bfloat16)
-            xf = xf.astype(jnp.bfloat16)
+        L, xf = _encoder_views(x)
 
-        report = self._loss(q, L, xf, x, c, None, k_rep, beta,
+        report = self._loss(q, L, xf, x, c, None, rand["rep_eps"], beta,
                             include_const=True, boot=False)
         if axis_name is not None:
             report = jax.lax.pmean(report, axis_name)
 
         def boot_body(i, carry):
             q, opt_state = carry
-            kb = jax.random.fold_in(k_boot, i)
-            k_idx, k_fwd = jax.random.split(kb)
-            ridx = jax.random.randint(k_idx, (B,), 0, B)
+            ridx = rand["ridx"][i]
+            eps = (rand["boot_eps"][0][i], rand["boot_eps"][1][i])
             grads = jax.grad(
-                lambda qq: self._loss(qq, L, xf, x, c, ridx, k_fwd, beta,
+                lambda qq: self._loss(qq, L, xf, x, c, ridx, eps, beta,
                                       include_const=False, boot=True)
             )(q)
             if axis_name is not None:

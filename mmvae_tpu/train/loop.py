@@ -373,13 +373,14 @@ class Trainer:
         ekey = jax.random.fold_in(base_key, jnp.asarray(epoch_f, jnp.int32))
         q = fast.pack(params)
         po = fast.pack_opt_state(opt_state)
+        rand = fast.draw_rand(ekey, batch_ids, x_sb.shape[1],
+                              axis_name=axis_name)
 
         def scan_body(carry, inp):
             q, po = carry
-            x, c, b_id = inp
-            key = jax.random.fold_in(ekey, b_id)
+            x, c, b_id, rnd = inp
             q, po, report = fast.batch_step(
-                q, po, x, c, epoch_f, key, axis_name=axis_name
+                q, po, x, c, epoch_f, axis_name=axis_name, rand=rnd
             )
             out = report
             if record_fns is not None:
@@ -391,7 +392,7 @@ class Trainer:
             return (q, po), out
 
         (q, po), reports = jax.lax.scan(
-            scan_body, (q, po), (x_sb, c_sb, batch_ids)
+            scan_body, (q, po), (x_sb, c_sb, batch_ids, rand)
         )
         return fast.unpack(q), fast.unpack_opt_state(po), reports
 
@@ -437,18 +438,28 @@ class Trainer:
         fast = self.fast
 
         def make_epoch_fn(record: bool):
+            # rand is pre-drawn OUTSIDE this jit (draw_rand in its own
+            # dispatch): drawing in-graph makes XLA's compile time scale
+            # superlinearly with nbatch (measured 11s/27s/97s at
+            # 64/128/256 batches), while the same arrays as plain jit
+            # arguments compile flat.  Trajectories are identical —
+            # the draws are bitwise the same either way.
             def epoch_fn(params, opt_state, epoch_f, base_key,
-                         data, covar):
+                         data, covar, rand=None):
                 ekey = jax.random.fold_in(base_key,
                                           jnp.asarray(epoch_f, jnp.int32))
+                b_ids = jnp.arange(nbatch, dtype=jnp.int32)
                 if fast is not None:
                     carry0 = (fast.pack(params),
                               fast.pack_opt_state(opt_state))
+                    xs = (b_ids, rand)
                 else:
                     carry0 = (params, opt_state)
+                    xs = (b_ids, None)
 
-                def scan_body(carry, b):
+                def scan_body(carry, inp):
                     st, opt_st = carry
+                    b, rnd = inp
                     cols = (b * B + jnp.arange(B, dtype=jnp.int32)) % ntot
                     if dense_mode and ntot % B == 0:
                         # wrap-free schedule: contiguous rows — a slice
@@ -469,12 +480,12 @@ class Trainer:
                             c = c.astype(jnp.float32)
                     else:
                         c = jnp.ones((B, covar_dim), jnp.float32)
-                    key = jax.random.fold_in(ekey, b)
                     if fast is not None:
                         st, opt_st, rep = fast.batch_step(
-                            st, opt_st, x, c, epoch_f, key
+                            st, opt_st, x, c, epoch_f, rand=rnd
                         )
                     else:
+                        key = jax.random.fold_in(ekey, b)
                         st, opt_st, rep = self._batch_step(
                             st, opt_st, x, c, epoch_f, key
                         )
@@ -497,10 +508,7 @@ class Trainer:
                         out = (rep, enc, extra)
                     return (st, opt_st), out
 
-                (st, opt_st), outs = jax.lax.scan(
-                    scan_body, carry0,
-                    jnp.arange(nbatch, dtype=jnp.int32),
-                )
+                (st, opt_st), outs = jax.lax.scan(scan_body, carry0, xs)
                 if fast is not None:
                     return (fast.unpack(st),
                             fast.unpack_opt_state(opt_st), outs)
@@ -517,11 +525,22 @@ class Trainer:
             data_dense if dense_mode
             else (data_csc.ell_rows, data_csc.ell_vals)
         )
+        if fast is not None:
+            b_ids = jnp.arange(nbatch, dtype=jnp.int32)
+            jdraw = jax.jit(lambda bk, ef: fast.draw_rand(
+                jax.random.fold_in(bk, jnp.asarray(ef, jnp.int32)),
+                b_ids, B,
+            ))
+        else:
+            jdraw = None
 
         def run(params, opt_state, epoch: int, record: bool = False):
             fn = jitted_rec if (record and jitted_rec is not None) else jitted
-            return fn(params, opt_state, jnp.float32(epoch),
-                      self._base_key, data_arrs, covar_arrs)
+            ef = jnp.float32(epoch)
+            rand = (jdraw(self._base_key, ef) if jdraw is not None
+                    else None)
+            return fn(params, opt_state, ef,
+                      self._base_key, data_arrs, covar_arrs, rand)
 
         run.can_record = encode_fn is not None
         return run
@@ -554,26 +573,31 @@ class Trainer:
         fast = self.fast
 
         def epoch_fn(record: bool, params, opt_state, epoch_f, base_key,
-                     data):
+                     data, rand=None):
             ekey = jax.random.fold_in(base_key,
                                       jnp.asarray(epoch_f, jnp.int32))
+            b_ids = jnp.arange(nbatch, dtype=jnp.int32)
             if fast is not None:
                 carry0 = (fast.pack(params), fast.pack_opt_state(opt_state))
+                xs = (b_ids, rand)
             else:
                 carry0 = (params, opt_state)
+                xs = (b_ids, None)
 
-            def scan_body(carry, b):
+            def scan_body(carry, inp):
                 st, opt_st = carry
+                b, rnd = inp
                 x = jax.lax.dynamic_slice_in_dim(data, b * Bl, Bl, 0)
                 if fast is None and jnp.issubdtype(x.dtype, jnp.integer):
                     x = x.astype(jnp.float32)
                 c = jnp.ones((Bl, covar_dim), jnp.float32)
-                key = jax.random.fold_in(ekey, b)
                 if fast is not None:
                     st, opt_st, rep = fast.batch_step(
-                        st, opt_st, x, c, epoch_f, key, axis_name="data"
+                        st, opt_st, x, c, epoch_f, axis_name="data",
+                        rand=rnd,
                     )
                 else:
+                    key = jax.random.fold_in(ekey, b)
                     st, opt_st, rep = self._batch_step(
                         st, opt_st, x, c, epoch_f, key,
                         axis_name="data",
@@ -592,14 +616,40 @@ class Trainer:
                     out = (rep, enc, extra)
                 return (st, opt_st), out
 
-            (st, opt_st), outs = jax.lax.scan(
-                scan_body, carry0,
-                jnp.arange(nbatch, dtype=jnp.int32),
-            )
+            (st, opt_st), outs = jax.lax.scan(scan_body, carry0, xs)
             if fast is not None:
                 return (fast.unpack(st), fast.unpack_opt_state(opt_st),
                         outs)
             return st, opt_st, outs
+
+        # rand is drawn in its own (shard_map) dispatch and passed as a
+        # sharded argument — in-graph draws make XLA compile time scale
+        # superlinearly with nbatch (see make_ondevice_epoch); the
+        # per-device values (axis_index fold) are bitwise unchanged
+        rand_specs = None
+        if fast is not None:
+            rand_specs = dict(
+                rep_eps=(P(None, "data", None), P(None, "data", None)),
+                ridx=P(None, None, "data"),
+                boot_eps=(P(None, None, "data", None),
+                          P(None, None, "data", None)),
+            )
+
+            def draw_fn(base_key, epoch_f):
+                ekey = jax.random.fold_in(
+                    base_key, jnp.asarray(epoch_f, jnp.int32)
+                )
+                return fast.draw_rand(
+                    ekey, jnp.arange(nbatch, dtype=jnp.int32), Bl,
+                    axis_name="data",
+                )
+
+            jdraw = jax.jit(jax.shard_map(
+                draw_fn, mesh=self.mesh, in_specs=(P(), P()),
+                out_specs=rand_specs, check_vma=False,
+            ))
+        else:
+            jdraw = None
 
         def build(record: bool):
             out_rep = P()
@@ -613,7 +663,8 @@ class Trainer:
             step = jax.shard_map(
                 functools.partial(epoch_fn, record),
                 mesh=self.mesh,
-                in_specs=(P(), P(), P(), P(), P("data", None)),
+                in_specs=(P(), P(), P(), P(), P("data", None),
+                          rand_specs),
                 out_specs=(P(), P(), outs_spec),
                 check_vma=False,
             )
@@ -634,8 +685,10 @@ class Trainer:
 
         def run(params, opt_state, epoch: int, record: bool = False):
             fn = jitted_rec if (record and jitted_rec is not None) else jitted
-            return fn(params, opt_state, jnp.float32(epoch),
-                      self._base_key, data_sharded)
+            ef = jnp.float32(epoch)
+            rand = jdraw(self._base_key, ef) if jdraw is not None else None
+            return fn(params, opt_state, ef,
+                      self._base_key, data_sharded, rand)
 
         # multi-host recording: each host fetches its local shard of the
         # scan outputs (parallel.multihost.local_rows) and the recorder's

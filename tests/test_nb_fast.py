@@ -106,3 +106,40 @@ def test_fast_int_float_invariance():
         params, s, rep = tr.step(params, s, x, c, 0, np.arange(2))
         outs.append(np.asarray(rep))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_batch_step_key_vs_predrawn_rand_bitwise():
+    """Epoch runners pre-draw all randomness (draw_rand) and the scan
+    consumes slices; the draws must be BITWISE equal to the in-step
+    schedule (counter-based PRNG is a pure function of the key, vmapped
+    or not), and the stepped state must match up to cross-compilation
+    float reassociation."""
+    x, c = _mk_data(S=1, B=8, D=640)
+    model = NBVAE(data_dim=640, covar_dim=1)
+    topt = TrainingOptions(nboot=3, superbatch=1, seed=0)
+    fast = NBFastStep(model, topt)
+    params = model.init(jax.random.PRNGKey(1))
+    q = fast.pack(params)
+    po = fast.optimizer.init(q)
+    xb, cb = jnp.asarray(x[0]), jnp.asarray(c[0])
+    ekey = jax.random.PRNGKey(7)
+    b_ids = jnp.arange(4, dtype=jnp.int32)
+
+    key = jax.random.fold_in(ekey, b_ids[2])
+    draws_in = jax.jit(lambda k: fast._draw_batch(k, 8))(key)
+    rand_all = jax.jit(lambda: fast.draw_rand(ekey, b_ids, 8))()
+    rnd = jax.tree_util.tree_map(lambda a: a[2], rand_all)
+    for la, lb in zip(jax.tree_util.tree_leaves(draws_in),
+                      jax.tree_util.tree_leaves(rnd)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    q_a, po_a, rep_a = jax.jit(fast.batch_step)(q, po, xb, cb, 0.0, key)
+    q_b, po_b, rep_b = jax.jit(
+        lambda *a, rand: fast.batch_step(*a, rand=rand)
+    )(q, po, xb, cb, 0.0, rand=rnd)
+    np.testing.assert_allclose(np.asarray(rep_a), np.asarray(rep_b),
+                               rtol=1e-6)
+    for la, lb in zip(jax.tree_util.tree_leaves((q_a, po_a)),
+                      jax.tree_util.tree_leaves((q_b, po_b))):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=1e-6)
