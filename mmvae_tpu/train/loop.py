@@ -1144,10 +1144,16 @@ def train_vae_model(
                     enc = (local_rows(enc[0]), local_rows(enc[1]))
                     if recorder.extra_fn is not None:
                         extra = local_rows(extra)
-                recorder.ingest(batches, enc,
-                                extra if recorder.extra_fn is not None
-                                else None)
-                recorder.update_on_epoch(params, epoch)
+                with timer.phase("record_submit"):
+                    # non-blocking: the writer thread fetches the
+                    # posteriors (syncing on this epoch's device
+                    # compute there) and writes artifacts while the
+                    # next epoch runs
+                    recorder.submit_epoch(
+                        batches, enc,
+                        extra if recorder.extra_fn is not None else None,
+                        params, epoch,
+                    )
             else:
                 rep = out
             epoch_loss = float(np.asarray(rep).mean())
@@ -1161,6 +1167,8 @@ def train_vae_model(
                 epoch, loss=epoch_loss,
                 kl_weight=float(kl_weight_schedule(epoch, kl[0], kl[1], kl[2])),
                 cells_per_sec=round(nbatch * B / dt, 1), ondevice=True,
+                **{f"time_{k}": round(v, 4)
+                   for k, v in timer.summary().items()},
             )
             if on_epoch_end is not None:
                 on_epoch_end(epoch, params, opt_state, loss_vec)

@@ -208,22 +208,109 @@ class LatentRecorder:
         for fut in pending:
             fut.result()
 
-    def update_on_epoch(self, params, epoch: int) -> None:
+    def _bound_queue(self, limit: int = 64) -> None:
+        """Surface errors from finished writes without blocking; only
+        wait when the queue is genuinely deep (a recording epoch submits
+        ~2 + nparams files).  The old unconditional flush made every
+        recording epoch stall on the PREVIOUS epoch's gzip writes,
+        defeating the async writer."""
+        done = [f for f in self._pending if f.done()]
+        for f in done:
+            f.result()
+        self._pending = [f for f in self._pending if not f.done()]
+        if len(self._pending) > limit:
+            self.flush()
+
+    def _fetch_params(self, params):
+        """Fetch the whole parameter tree in ONE device->host transfer.
+
+        Per-leaf ``np.asarray`` costs an ~27 ms round trip each over the
+        remote-device tunnel (~0.8 s for the NB tree's 26 leaves every
+        recording epoch); concatenating the raveled leaves on device and
+        splitting on the host pays one round trip total.  Leaves that are
+        already host numpy (or non-f32) pass through per-leaf."""
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        packable = [isinstance(a, jax.Array) and a.dtype == jnp.float32
+                    for a in leaves]
+        if not any(packable):
+            return params
+        key = tuple((i, a.shape) for i, (a, p)
+                    in enumerate(zip(leaves, packable)) if p)
+        if getattr(self, "_packer_key", None) != key:
+            idx = [i for i, p in enumerate(packable) if p]
+
+            def pack(ls):
+                return jnp.concatenate([jnp.ravel(ls[i]) for i in idx])
+
+            self._packer_key = key
+            self._packer = jax.jit(pack)
+            self._packer_idx = idx
+        flat = np.asarray(self._packer(leaves))
+        out = list(leaves)
+        off = 0
+        for i in self._packer_idx:
+            n = int(np.prod(leaves[i].shape)) if leaves[i].ndim else 1
+            out[i] = flat[off:off + n].reshape(leaves[i].shape)
+            off += n
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def update_on_epoch(self, params, epoch: int,
+                        _direct: bool = False) -> None:
         mean_out, lnvar_out, extra_out = self._merged()
         if jax.process_index() != 0:
             return  # artifacts are written once, by the primary host
-        self.flush()  # bound the queue and surface earlier write errors
+        if self._writer is not None and not _direct:
+            self._bound_queue()
+        if self.write_params:
+            params = self._fetch_params(params)
         tag = f"{self.header}_{zeropad(epoch, self.max_epoch)}"
-        if self._writer is not None:
+        write = (lambda p, a: write_data_file(p, a)) if _direct \
+            else self._write
+        if self._writer is not None and not _direct:
             # posterior matrices keep accumulating after this epoch:
             # snapshot them for the background writer
             mean_out = mean_out.copy()
             lnvar_out = lnvar_out.copy()
             extra_out = extra_out.copy()
-        self._write(f"{tag}.{self.mean_name}.gz", mean_out)
-        self._write(f"{tag}.{self.lnvar_name}.gz", lnvar_out)
+        write(f"{tag}.{self.mean_name}.gz", mean_out)
+        write(f"{tag}.{self.lnvar_name}.gz", lnvar_out)
         if self.extra_fn is not None:
-            self._write(f"{tag}.{self.extra_name}.gz", extra_out)
+            write(f"{tag}.{self.extra_name}.gz", extra_out)
         if self.write_params:
             for key, arr in flatten_params(params).items():
-                self._write(f"{tag}_{key}.gz", arr)
+                write(f"{tag}_{key}.gz", arr)
+
+    def submit_epoch(self, batches, enc, extra, params,
+                     epoch: int) -> None:
+        """Ingest + write one on-device recording epoch WITHOUT blocking
+        the training loop.
+
+        ``enc``/``extra`` are still-device arrays (the epoch runner's
+        scan outputs); fetching them synchronizes on the epoch's device
+        compute, so doing it on the writer thread lets the caller
+        dispatch the NEXT epoch first and overlap the fetch + gzip
+        writes with its compute.  Single-host async mode only: multi-
+        host recording needs the ``_merged`` allgather, which must stay
+        on the main thread next to the other collectives."""
+        if self._writer is None or jax.process_count() > 1:
+            self.ingest(batches, enc, extra)
+            self.update_on_epoch(params, epoch)
+            return
+
+        if self.write_params:
+            # fetch params NOW (one packed transfer): the caller's next
+            # epoch dispatch donates these buffers (donate_argnums), so
+            # a deferred fetch would touch deleted arrays.  The sync
+            # this implies is the epoch's own completion, which the
+            # training loop pays right after us anyway (loss fetch).
+            params = self._fetch_params(params)
+
+        def work():
+            # runs on the single writer thread: ingest and writes stay
+            # sequentially ordered with earlier submissions, and
+            # _direct=True writes inline (a nested submit would queue
+            # behind this task; waiting on it would deadlock)
+            self.ingest(batches, enc, extra)
+            self.update_on_epoch(params, epoch, _direct=True)
+
+        self._pending.append(self._writer.submit(work))

@@ -107,6 +107,47 @@ def test_ondevice_recording_matches_host(setup, tmp_path):
     np.testing.assert_allclose(lh, ld, rtol=1e-5, atol=1e-7)
 
 
+def test_ondevice_async_recorder_matches_sync(setup, tmp_path):
+    """The CLI's async recorder (deferred ingest+writes on the writer
+    thread, packed one-transfer param fetch) produces byte-identical
+    artifacts to the synchronous recorder."""
+    import gzip
+
+    from mmvae_tpu.train.recorder import LatentRecorder
+
+    data, covar, model = setup
+
+    def run(async_writes, tag):
+        topt = TrainingOptions(nboot=2, max_epoch=4, recording=2,
+                               superbatch=3, seed=0)
+        params = model.init(jax.random.PRNGKey(0))
+        rec = LatentRecorder(
+            str(tmp_path / tag), topt.max_epoch, data.ntot(),
+            encode_fn=lambda p, x: model.encode_mu(p, x),
+            async_writes=async_writes,
+        )
+        train_vae_model(
+            lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+            rec, data, covar, topt,
+            lambda x, out, beta: nb_loss(x, out, beta),
+            params, ondevice=True,
+        )
+        rec.flush()
+
+    run(False, "sync")
+    run(True, "async")
+    import glob
+    import os
+
+    sync_files = sorted(glob.glob(str(tmp_path / "sync_*.gz")))
+    assert sync_files, "sync recorder wrote nothing"
+    for f in sync_files:
+        g = f.replace(os.sep + "sync_", os.sep + "async_")
+        assert os.path.exists(g), f"missing async artifact {g}"
+        with gzip.open(f, "rb") as fa, gzip.open(g, "rb") as fb:
+            assert fa.read() == fb.read(), f"artifact mismatch: {f}"
+
+
 def test_ondevice_ell_mode_matches_dense(setup, monkeypatch):
     """Force the ELL layout (dense budget 0) and check the trajectory
     matches both the dense-resident mode and the host path."""
