@@ -221,6 +221,15 @@ def main(argv=None) -> int:
                 model.fused_step_boot(p, x, c, k, b, need_value=False)
             ),
         )
+        # v3 packed-parameter step (ops/vmfnb_fast.py) on top of the
+        # joint kernels: hoisted data views, Gram-collapsed vMF half
+        from ..ops.vmfnb_fast import VMFNBFastStep
+
+        if VMFNBFastStep.supports(model):
+            fused_kw["fast_step"] = VMFNBFastStep(
+                model, topt,
+                kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
+            )
 
     if _primary:
         # reference parity: model->pretty_print(std::cerr) at train

@@ -188,7 +188,115 @@ class _Rows:
         return self.R + self.C + 8 + self.Rn + self.R + self.H
 
 
-class NBFastStep:
+class PackedFastStep:
+    """Shared skeleton of the packed fast-step path.
+
+    Subclasses define the model-specific pieces — ``pack``/``unpack``
+    between the named parameter dict (artifact / checkpoint surface) and
+    the packed ``{"P": (K, D), "sv": (n,)}`` compute layout,
+    ``_views(x)`` (the parameter-independent per-batch data hoists),
+    ``_draw_batch`` (the model's exact PRNG schedule) and ``_loss`` —
+    while :meth:`batch_step` / :meth:`draw_rand` / the packed optimizer
+    plumbing are common.  The epoch runners in train/loop.py drive any
+    subclass through this one protocol."""
+
+    # ------------------------------------------------------------------
+    # adam-state conversion: the chain is (clip, wd, adam, lr); only the
+    # ScaleByAdamState's mu/nu trees are params-shaped
+    # ------------------------------------------------------------------
+    def pack_opt_state(self, opt_state):
+        adam = opt_state[2]
+        packed = adam._replace(mu=self.pack(adam.mu), nu=self.pack(adam.nu))
+        return tuple(opt_state[:2]) + (packed,) + tuple(opt_state[3:])
+
+    def unpack_opt_state(self, opt_state):
+        adam = opt_state[2]
+        named = adam._replace(
+            mu=self.unpack(adam.mu), nu=self.unpack(adam.nu)
+        )
+        return tuple(opt_state[:2]) + (named,) + tuple(opt_state[3:])
+
+    @staticmethod
+    def _reparam(eps, mean, lnvar):
+        sig = jnp.exp(lnvar / 2.0)
+        return mean + eps * sig
+
+    def draw_rand(self, ekey, batch_ids, B: int, axis_name=None):
+        """Pre-draw :meth:`_draw_batch` for a whole epoch of batch ids,
+        vectorized.  Hoisting the threefry chains out of the sequential
+        batch scan removes ~25 us/batch of tiny key-derivation kernels
+        from the hot path; the scan consumes the stacked pytree as a
+        sliced ``xs`` input.  Bitwise identical to in-step draws."""
+
+        def one(b):
+            key = jax.random.fold_in(ekey, b)
+            if axis_name is not None:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(axis_name)
+                )
+            return self._draw_batch(key, B)
+
+        return jax.vmap(one)(batch_ids)
+
+    def batch_step(self, q, opt_state, x, c, epoch_f, key=None,
+                   axis_name=None, rand=None):
+        """One reference batch step on packed state: reporting forward +
+        nboot bootstrap-resampled Adam steps (mmvae_alg.hh:277-311).
+
+        Randomness comes either from ``key`` (drawn in-step) or from a
+        pre-drawn ``rand`` slice of :meth:`draw_rand` — bitwise
+        equivalent; epoch runners pass ``rand`` so the threefry chains
+        run once, vectorized, outside the batch scan."""
+        beta = kl_weight_schedule(
+            epoch_f, self.kl_max, self.kl_min, self.kl_discount
+        )
+        B = x.shape[0]
+        if rand is None:
+            if axis_name is not None:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(axis_name)
+                )
+            rand = self._draw_batch(key, B)
+
+        views = self._views(x)
+
+        report = self._loss(q, views, x, c, None, rand["rep_eps"], beta,
+                            include_const=True, boot=False)
+        if axis_name is not None:
+            report = jax.lax.pmean(report, axis_name)
+
+        def boot_body(i, carry):
+            q, opt_state = carry
+            ridx = rand["ridx"][i]
+            eps = tuple(e[i] for e in rand["boot_eps"])
+            grads = jax.grad(
+                lambda qq: self._loss(qq, views, x, c, ridx, eps, beta,
+                                      include_const=False, boot=True)
+            )(q)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = self.optimizer.update(
+                grads, opt_state, q
+            )
+            q = optax.apply_updates(q, updates)
+            return q, opt_state
+
+        # nboot is static and small: unroll in Python — identical math
+        # to a fori_loop, but XLA schedules the three boot bodies
+        # without while-loop sequencing overhead
+        if self.opt.nboot <= 8:
+            carry = (q, opt_state)
+            for i in range(self.opt.nboot):
+                carry = boot_body(i, carry)
+            q, opt_state = carry
+        else:
+            q, opt_state = jax.lax.fori_loop(
+                0, self.opt.nboot, boot_body, (q, opt_state)
+            )
+        return q, opt_state, report
+
+
+class NBFastStep(PackedFastStep):
     """Packed-parameter fused step for :class:`~mmvae_tpu.models.nb.NBVAE`.
 
     Converts between the model's named parameter dict (artifact /
@@ -318,23 +426,12 @@ class NBFastStep:
             )
         return out
 
-    # adam-state conversion: the chain is (clip, wd, adam, lr); only the
-    # ScaleByAdamState's mu/nu trees are params-shaped
-    def pack_opt_state(self, opt_state):
-        adam = opt_state[2]
-        packed = adam._replace(mu=self.pack(adam.mu), nu=self.pack(adam.nu))
-        return tuple(opt_state[:2]) + (packed,) + tuple(opt_state[3:])
-
-    def unpack_opt_state(self, opt_state):
-        adam = opt_state[2]
-        named = adam._replace(
-            mu=self.unpack(adam.mu), nu=self.unpack(adam.nu)
-        )
-        return tuple(opt_state[:2]) + (named,) + tuple(opt_state[3:])
-
     # ------------------------------------------------------------------
     # compute
     # ------------------------------------------------------------------
+    @staticmethod
+    def _views(x):
+        return _encoder_views(x)
     def _sv(self, sv, name):
         off, shape = self._sv_segs[name]
         n = 1
@@ -393,11 +490,6 @@ class NBFastStep:
         bias_n = P[r.nu_dec_b] - P[r.nu_bias]
         return wd, wc, bias2, wn, bias_n
 
-    @staticmethod
-    def _reparam(eps, mean, lnvar):
-        sig = jnp.exp(lnvar / 2.0)
-        return mean + eps * sig
-
     # ------------------------------------------------------------------
     # randomness
     # ------------------------------------------------------------------
@@ -427,25 +519,9 @@ class NBFastStep:
         )
         return dict(rep_eps=rep_eps, ridx=ridx, boot_eps=(be_mu, be_nu))
 
-    def draw_rand(self, ekey, batch_ids, B: int, axis_name=None):
-        """Pre-draw :meth:`_draw_batch` for a whole epoch of batch ids,
-        vectorized.  Hoisting the threefry chains out of the sequential
-        batch scan removes ~25 us/batch of tiny key-derivation kernels
-        from the hot path; the scan consumes the stacked pytree as a
-        sliced ``xs`` input.  Bitwise identical to in-step draws."""
-
-        def one(b):
-            key = jax.random.fold_in(ekey, b)
-            if axis_name is not None:
-                key = jax.random.fold_in(
-                    key, jax.lax.axis_index(axis_name)
-                )
-            return self._draw_batch(key, B)
-
-        return jax.vmap(one)(batch_ids)
-
-    def _loss(self, q, L, xf, x, c, ridx, eps, beta, include_const,
+    def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
               boot: bool):
+        L, xf = views
         if ridx is not None:
             # resample the INPUT rows, not the encoder outputs: the
             # forward is row-wise so heads(x[ridx]) == heads(x)[ridx]
@@ -469,64 +545,6 @@ class NBFastStep:
         )
         nll = step_fn(x, z_mu, c, z_nu, depth, wd, wc, bias2, wn, bias_n)
         return (nll + beta * kl) / x.shape[0]
-
-    # ------------------------------------------------------------------
-    def batch_step(self, q, opt_state, x, c, epoch_f, key=None,
-                   axis_name=None, rand=None):
-        """One reference batch step on packed state: reporting forward +
-        nboot bootstrap-resampled Adam steps (mmvae_alg.hh:277-311).
-
-        Randomness comes either from ``key`` (drawn in-step) or from a
-        pre-drawn ``rand`` slice of :meth:`draw_rand` — bitwise
-        equivalent; epoch runners pass ``rand`` so the threefry chains
-        run once, vectorized, outside the batch scan."""
-        beta = kl_weight_schedule(
-            epoch_f, self.kl_max, self.kl_min, self.kl_discount
-        )
-        B = x.shape[0]
-        if rand is None:
-            if axis_name is not None:
-                key = jax.random.fold_in(
-                    key, jax.lax.axis_index(axis_name)
-                )
-            rand = self._draw_batch(key, B)
-
-        L, xf = _encoder_views(x)
-
-        report = self._loss(q, L, xf, x, c, None, rand["rep_eps"], beta,
-                            include_const=True, boot=False)
-        if axis_name is not None:
-            report = jax.lax.pmean(report, axis_name)
-
-        def boot_body(i, carry):
-            q, opt_state = carry
-            ridx = rand["ridx"][i]
-            eps = (rand["boot_eps"][0][i], rand["boot_eps"][1][i])
-            grads = jax.grad(
-                lambda qq: self._loss(qq, L, xf, x, c, ridx, eps, beta,
-                                      include_const=False, boot=True)
-            )(q)
-            if axis_name is not None:
-                grads = jax.lax.pmean(grads, axis_name)
-            updates, opt_state = self.optimizer.update(
-                grads, opt_state, q
-            )
-            q = optax.apply_updates(q, updates)
-            return q, opt_state
-
-        # nboot is static and small: unroll in Python — identical math
-        # to a fori_loop, but XLA schedules the three boot bodies
-        # without while-loop sequencing overhead
-        if self.opt.nboot <= 8:
-            carry = (q, opt_state)
-            for i in range(self.opt.nboot):
-                carry = boot_body(i, carry)
-            q, opt_state = carry
-        else:
-            q, opt_state = jax.lax.fori_loop(
-                0, self.opt.nboot, boot_body, (q, opt_state)
-            )
-        return q, opt_state, report
 
 
 def _make_packed_optimizer(opt) -> optax.GradientTransformation:

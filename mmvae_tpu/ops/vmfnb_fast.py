@@ -1,0 +1,428 @@
+"""v3 packed fast step for the joint vMF+NB model.
+
+Applies the NB fast path's recipe (ops/nb_fast.py) to
+:class:`~mmvae_tpu.models.vmfnb.VMFNBVAE` (reference
+include/models/vmfnb.hh:241-758), whose generic step spends most of its
+time in XLA glue around the joint Pallas kernels:
+
+- **Hoisted data views.**  All three per-batch data transforms are
+  parameter-independent and computed ONCE per batch instead of once per
+  forward (4x/batch): the joint model's L2-normalized log1p counts
+  (``normalize_nb_x`` core, vmfnb.hh:601-611), the raw counts for the
+  nu/depth/kappa heads, and the vMF observation direction ``yobs``
+  (vmfnb.hh:554-560).  Bootstrap resampling gathers ROWS of these views
+  (row-wise transforms commute with row gathers bitwise).
+- **Gram-collapsed vMF decoder.**  The generic path materializes the
+  (B, D) vMF reconstruction and L2-normalizes it only to contract it
+  against ``yobs`` (vmfnb.hh:469-475, 563-566).  With a direct decoder
+  ``v = z @ W + b``:  ``<yobs, v>`` collapses to one slim MXU pass
+  ``yobs @ [W; b]^T`` and ``|v|^2 = z G z^T + 2 z (W b) + b.b`` with
+  ``G`` from the tiny (R+1, R+1) Gram of the decoder rows — so neither
+  the reconstruction, its normalizer, nor their backward ever touch a
+  (B, D) tensor.
+- **Packed parameters** (one (K, D) matrix + one small vector, 2-leaf
+  optax chain) and **pre-drawn randomness** exactly as in nb_fast.py;
+  the PRNG schedule mirrors the generic path (key -> 3-way split for
+  the nb/nu/vmf reparameterizations, vmfnb.hh:519,527,533) so the two
+  paths draw bitwise-identical noise.
+
+The NB likelihood stays in the joint single-pass kernels
+(ops/nb_step.py: pb outside softmax, exp-nu).  Valid for the direct
+architecture (no hidden encoder/decoder layers) with the default nu
+clamp; callers must check :meth:`VMFNBFastStep.supports`.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from .fastmath import fasterlog
+from .lbessel import lbessel
+from .losses import gaussian_kl, l2_normalize
+from .nb_fast import (
+    PackedFastStep,
+    _data_mm,
+    _make_packed_optimizer,
+    _softplus,
+    _use_bf16_data,
+)
+from .nb_step import (
+    nb_step_boot_joint_gradonly,
+    nb_step_report,
+)
+
+
+@dataclass(frozen=True)
+class _JRows:
+    """Row indices of the packed (K, D) joint parameter matrix."""
+
+    R: int
+    H: int
+    Rn: int
+
+    @property
+    def mu_dec_w(self):  # (R, D)
+        return slice(0, self.R)
+
+    @property
+    def mu_dec_b(self):
+        return self.R
+
+    @property
+    def mu_bias(self):
+        return self.R + 1
+
+    @property
+    def nu_dec_w(self):  # (Rn, D)
+        return slice(self.R + 2, self.R + 2 + self.Rn)
+
+    @property
+    def nu_dec_b(self):
+        return self.R + 2 + self.Rn
+
+    @property
+    def nu_bias(self):
+        return self.R + 3 + self.Rn
+
+    @property
+    def x_mean(self):
+        return self.R + 4 + self.Rn
+
+    @property
+    def ln_x_sd(self):
+        return self.R + 5 + self.Rn
+
+    @property
+    def mu_enc_w(self):  # (R, D) — transposed storage
+        a = self.R + 6 + self.Rn
+        return slice(a, a + self.R)
+
+    @property
+    def nu_enc_w(self):  # (H, D) — transposed storage
+        a = 2 * self.R + 6 + self.Rn
+        return slice(a, a + self.H)
+
+    @property
+    def depth_w(self):  # (1, D) — transposed storage
+        return 2 * self.R + 6 + self.Rn + self.H
+
+    @property
+    def kappa_w(self):  # (1, D) — transposed storage
+        return 2 * self.R + 7 + self.Rn + self.H
+
+    @property
+    def ndk_rows(self):  # (H+2, D): nu encoder, depth, ln_kappa rows —
+        # adjacent so the three raw-count heads share ONE MXU pass
+        a = 2 * self.R + 6 + self.Rn
+        return slice(a, a + self.H + 2)
+
+    @property
+    def vmf_rows(self):  # (R+1, D): vMF decoder weight rows + bias row —
+        # adjacent so <yobs, v> and the Gram are single stacked ops
+        a = 2 * self.R + 8 + self.Rn + self.H
+        return slice(a, a + self.R + 1)
+
+    @property
+    def K(self):
+        return 3 * self.R + 9 + self.Rn + self.H
+
+
+class VMFNBFastStep(PackedFastStep):
+    """Packed fast step for :class:`~mmvae_tpu.models.vmfnb.VMFNBVAE`."""
+
+    def __init__(self, model, opt, kl=(1.0, 1e-2, 0.1)):
+        assert self.supports(model), (
+            "VMFNBFastStep requires the direct joint architecture "
+            "with the default nu clamp"
+        )
+        self.model = model
+        self.opt = opt
+        self.kl_max, self.kl_min, self.kl_discount = kl
+        self.rows = _JRows(
+            R=model.mean_latent,
+            H=model.overdisp_encoding,
+            Rn=model.overdisp_latent,
+        )
+        self._sv_segs, self._sv_len = self._build_sv_layout()
+        self.optimizer = _make_packed_optimizer(opt)
+
+    @staticmethod
+    def supports(model) -> bool:
+        from ..models.vmfnb import VMFNBVAE
+
+        return (
+            isinstance(model, VMFNBVAE)
+            and not model.mean_encoding
+            and not model.mean_decoding
+            and not model.vmf_decoding
+            and model._can_fuse_step()
+        )
+
+    # ------------------------------------------------------------------
+    # layout
+    # ------------------------------------------------------------------
+    def _build_sv_layout(self):
+        R, H, Rn = self.rows.R, self.rows.H, self.rows.Rn
+        segs = {}
+        off = 0
+        for name, shape in [
+            ("nb_mu_encoding.bias", (R,)),
+            ("nb_mu_representation_mean.weight", (R, R)),
+            ("nb_mu_representation_mean.bias", (R,)),
+            ("nb_mu_representation_logvariance.weight", (R, R)),
+            ("nb_mu_representation_logvariance.bias", (R,)),
+            ("nb_nu_encoding.bias", (H,)),
+            ("nb_nu_representation_mean.weight", (H, Rn)),
+            ("nb_nu_representation_mean.bias", (Rn,)),
+            ("nb_nu_representation_logvariance.weight", (H, Rn)),
+            ("nb_nu_representation_logvariance.bias", (Rn,)),
+            ("depth.bias", (1,)),
+            ("ln_kappa.bias", (1,)),
+        ]:
+            n = 1
+            for s in shape:
+                n *= s
+            segs[name] = (off, shape)
+            off += n
+        return segs, off
+
+    def pack(self, t: dict) -> dict:
+        r = self.rows
+        rows = [
+            t["nb_mu_decoding"]["weight"],          # (R, D)
+            t["nb_mu_decoding"]["bias"][None, :],
+            t["mu_bias"],                            # (1, D)
+            t["nb_nu_decoding"]["weight"],          # (Rn, D)
+            t["nb_nu_decoding"]["bias"][None, :],
+            t["nu_bias"],
+            t["x_mean"],
+            t["ln_x_sd"],
+            t["nb_mu_encoding"]["weight"].T,        # (R, D)
+            t["nb_nu_encoding"]["weight"].T,        # (H, D)
+            t["depth"]["weight"].T,                  # (1, D)
+            t["ln_kappa"]["weight"].T,               # (1, D)
+            t["vmf_mu_decoding"]["weight"],          # (R, D)
+            t["vmf_mu_decoding"]["bias"][None, :],
+        ]
+        P = jnp.concatenate(rows, axis=0)
+        assert P.shape[0] == r.K
+        sv_parts = []
+        for name in self._sv_segs:
+            top, leaf = name.split(".")
+            sv_parts.append(jnp.ravel(t[top][leaf]))
+        sv = jnp.concatenate(sv_parts)
+        return {"P": P, "sv": sv}
+
+    def unpack(self, q: dict) -> dict:
+        P, sv = q["P"], q["sv"]
+        r = self.rows
+        out = {
+            "x_mean": P[r.x_mean][None, :],
+            "ln_x_sd": P[r.ln_x_sd][None, :],
+            "mu_bias": P[r.mu_bias][None, :],
+            "nu_bias": P[r.nu_bias][None, :],
+            "nb_mu_decoding": {
+                "weight": P[r.mu_dec_w],
+                "bias": P[r.mu_dec_b],
+            },
+            "nb_nu_decoding": {
+                "weight": P[r.nu_dec_w],
+                "bias": P[r.nu_dec_b],
+            },
+            "vmf_mu_decoding": {
+                "weight": P[r.vmf_rows][:-1],
+                "bias": P[r.vmf_rows][-1],
+            },
+            "nb_mu_encoding": {"weight": P[r.mu_enc_w].T},
+            "nb_nu_encoding": {"weight": P[r.nu_enc_w].T},
+            "depth": {"weight": P[r.depth_w][:, None]},
+            "ln_kappa": {"weight": P[r.kappa_w][:, None]},
+        }
+        for name, (off, shape) in self._sv_segs.items():
+            top, leaf = name.split(".")
+            n = 1
+            for s in shape:
+                n *= s
+            out.setdefault(top, {})[leaf] = jnp.reshape(
+                sv[off:off + n], shape
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    # compute
+    # ------------------------------------------------------------------
+    def _sv(self, sv, name):
+        off, shape = self._sv_segs[name]
+        n = 1
+        for s in shape:
+            n *= s
+        return jnp.reshape(sv[off:off + n], shape)
+
+    def _views(self, x):
+        """(xn_core, xf, yobs): all parameter-independent, so one
+        computation serves the report pass and every boot (gathered by
+        row).  bf16 storage on TPU is bitwise-neutral — each view is
+        consumed only by DEFAULT-precision dots (see nb_fast)."""
+        xf32 = x.astype(jnp.float32)
+        L = jnp.log1p(xf32)
+        # joint-model encoder normalization core (vmfnb.hh:601-611)
+        xn_core = l2_normalize(L, axis=1)
+        # vMF observation direction (vmfnb.hh:554-560); counts are
+        # non-negative so relu(x) == x, but keep the reference op order
+        eps_y = 1e-2 / float(self.model.data_dim)
+        yobs = l2_normalize(jnp.log1p(jax.nn.relu(xf32)) + eps_y, axis=1)
+        if _use_bf16_data():
+            xn_core = xn_core.astype(jnp.bfloat16)
+            xf32 = xf32.astype(jnp.bfloat16)
+            yobs = yobs.astype(jnp.bfloat16)
+        return xn_core, xf32, yobs
+
+    def _heads(self, q, xn_core, xf):
+        """Shared mu encoder + the three raw-count heads; semantics ==
+        VMFNBVAE.shared_encode_mu / nb_encode_nu / depth / kappa_head
+        (vmfnb.hh:449-460, 477-486, 498, 535-538) via hoisted algebra."""
+        P, sv = q["P"], q["sv"]
+        r = self.rows
+        H = r.H
+        sd = _softplus(P[r.ln_x_sd]) + 1e-2                 # (D,)
+        Wt = P[r.mu_enc_w] / sd                             # (R, D)
+        h = _data_mm(xn_core, Wt) - P[r.x_mean] @ Wt.T      # (B, R)
+        h = h + self._sv(sv, "nb_mu_encoding.bias")
+        if self.model.do_relu:
+            h = jax.nn.relu(h)  # encoder stack ReLUs its last layer
+        mu_mean = (
+            h @ self._sv(sv, "nb_mu_representation_mean.weight")
+            + self._sv(sv, "nb_mu_representation_mean.bias")
+        )
+        mu_lnvar = jnp.clip(
+            h @ self._sv(sv, "nb_mu_representation_logvariance.weight")
+            + self._sv(sv, "nb_mu_representation_logvariance.bias"),
+            -4.0, 4.0,
+        )
+        ndk = _data_mm(xf, P[r.ndk_rows])                   # (B, H+2)
+        # nu hidden layer is ALWAYS ReLU'd in the joint model
+        # (vmfnb.hh:481 — unlike nb.hh)
+        nu_h = jax.nn.relu(ndk[:, :H] + self._sv(sv, "nb_nu_encoding.bias"))
+        nu_mean = (
+            nu_h @ self._sv(sv, "nb_nu_representation_mean.weight")
+            + self._sv(sv, "nb_nu_representation_mean.bias")
+        )
+        nu_lnvar = jnp.clip(
+            nu_h @ self._sv(sv, "nb_nu_representation_logvariance.weight")
+            + self._sv(sv, "nb_nu_representation_logvariance.bias"),
+            -4.0, 4.0,
+        )
+        depth = _softplus(ndk[:, H:H + 1] + self._sv(sv, "depth.bias"))
+        ln_kappa = ndk[:, H + 1:H + 2] + self._sv(sv, "ln_kappa.bias")
+        kappa = jnp.exp(jnp.clip(
+            ln_kappa,
+            fasterlog(self.model.kappa_min),
+            fasterlog(self.model.kappa_max),
+        ))
+        return mu_mean, mu_lnvar, nu_mean, nu_lnvar, depth, kappa
+
+    def _vmf_nll(self, q, yobs, z_vmf, kappa):
+        """vMF negative log-likelihood without the (B, D)
+        reconstruction: <yobs, v/|v|> via one stacked MXU pass and the
+        (R+1, R+1) decoder Gram (vmfnb.hh:554-574; same values as
+        vmf_nllik_parts up to norm-reduction order)."""
+        P = q["P"]
+        r = self.rows
+        vrows = P[r.vmf_rows]                               # (R+1, D)
+        t = _data_mm(yobs, vrows)                           # (B, R+1)
+        dot = jnp.sum(t[:, :-1] * z_vmf, axis=1) + t[:, -1]
+        # the Gram feeds |v| (a normalizer): keep true-f32 products —
+        # the generic path computes |v| from f32 elementwise squares,
+        # and DEFAULT bf16 rounding here would be a 1e-3-level bias on
+        # every llik term.  (R+1)^2 x D is tiny; cost is negligible.
+        gram = jnp.dot(vrows, vrows.T,
+                       precision=jax.lax.Precision.HIGHEST)
+        G, gb, bb = gram[:-1, :-1], gram[:-1, -1], gram[-1, -1]
+        sq = (jnp.sum((z_vmf @ G) * z_vmf, axis=1)
+              + 2.0 * (z_vmf @ gb) + bb)
+        # |v| >= |b_v| > 0 in practice; the max mirrors l2_normalize's
+        # eps guard (ops/losses.py) and protects the sqrt grad at 0
+        norm = jnp.maximum(jnp.sqrt(jnp.maximum(sq, 0.0)), 1e-12)
+        dd = float(self.model.data_dim)
+        df = max(0.5 * dd - 1.0, 0.0)
+        k = kappa[:, 0]
+        llik = (dot / norm) * k
+        llik += df * jnp.log(k) - lbessel(k, df)
+        llik -= 0.5 * dd * fasterlog(2.0 * math.pi)
+        return -jnp.sum(llik)
+
+    # ------------------------------------------------------------------
+    # randomness: mirrors the generic path exactly — split(key) ->
+    # (rep, boot); 3-way split for (nb, nu, vmf) reparameterizations
+    # (vmfnb.hh:519,527,533 via models/vmfnb._step_prelude)
+    # ------------------------------------------------------------------
+    def _draw_batch(self, key, B: int):
+        R, Rn = self.rows.R, self.rows.Rn
+        k_rep, k_boot = jax.random.split(key)
+
+        def draws(k):
+            k_nb, k_nu, k_vmf = jax.random.split(k, 3)
+            return (jax.random.normal(k_nb, (B, R)),
+                    jax.random.normal(k_nu, (B, Rn)),
+                    jax.random.normal(k_vmf, (B, R)))
+
+        rep_eps = draws(k_rep)
+
+        def boot(i):
+            kb = jax.random.fold_in(k_boot, i)
+            k_idx, k_fwd = jax.random.split(kb)
+            ridx = jax.random.randint(k_idx, (B,), 0, B)
+            return (ridx,) + draws(k_fwd)
+
+        ridx, b_nb, b_nu, b_vmf = jax.vmap(boot)(
+            jnp.arange(self.opt.nboot, dtype=jnp.uint32)
+        )
+        return dict(rep_eps=rep_eps, ridx=ridx,
+                    boot_eps=(b_nb, b_nu, b_vmf))
+
+    # ------------------------------------------------------------------
+    def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
+              boot: bool):
+        del c  # the joint model has no covariate pathway
+        xn_core, xf, yobs = views
+        if ridx is not None:
+            # row-wise transforms commute with row gathers: gathering
+            # the precomputed views is bitwise-equal to recomputing
+            # them on gathered counts, and the views carry no params
+            # (no backward through the gather)
+            x = jnp.take(x, ridx, axis=0)
+            xn_core = jnp.take(xn_core, ridx, axis=0)
+            xf = jnp.take(xf, ridx, axis=0)
+            yobs = jnp.take(yobs, ridx, axis=0)
+        heads = self._heads(q, xn_core, xf)
+        mu_mean, mu_lnvar, nu_mean, nu_lnvar, depth, kappa = heads
+        z_nb = self._reparam(eps[0], mu_mean, mu_lnvar)
+        z_nu = self._reparam(eps[1], nu_mean, nu_lnvar)
+        z_vmf = self._reparam(eps[2], mu_mean, mu_lnvar)
+        kl = gaussian_kl(mu_mean, mu_lnvar) + gaussian_kl(nu_mean, nu_lnvar)
+
+        P = q["P"]
+        r = self.rows
+        wd = P[r.mu_dec_w]
+        bias2 = P[r.mu_dec_b]
+        wn = P[r.nu_dec_w]
+        bias_n = P[r.nu_dec_b] - P[r.nu_bias]
+        pb = P[r.mu_bias]
+        B = x.shape[0]
+        cz = jnp.zeros((B, 1), jnp.float32)
+        wcz = jnp.zeros((1, x.shape[1]), jnp.float32)
+        if boot:
+            nll = nb_step_boot_joint_gradonly(
+                x, z_nb, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n, pb
+            )
+        else:
+            nll = nb_step_report(
+                x, z_nb, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n,
+                include_const=include_const, pb=pb, nu_exp=True,
+            )
+        vmf = self._vmf_nll(q, yobs, z_vmf, kappa)
+        return (nll + vmf + beta * kl) / B

@@ -1,0 +1,106 @@
+"""v3 packed fast step for the joint model (ops/vmfnb_fast.py) vs the
+generic fused-kernel path.
+
+Same contract as tests/test_nb_fast.py: identical PRNG draws, same
+kernels, trajectories equal up to float reassociation from the hoisted
+views and the Gram-collapsed vMF normalizer.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mmvae_tpu.models.vmfnb import VMFNBVAE, vmfnb_composite_loss
+from mmvae_tpu.ops import nb_step
+from mmvae_tpu.ops.vmfnb_fast import VMFNBFastStep
+from mmvae_tpu.train.config import TrainingOptions
+from mmvae_tpu.train.loop import Trainer
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(nb_step, "_INTERPRET", True)
+
+
+def _mk_data(S=2, B=8, D=640, seed=3, dtype=np.int16):
+    rng = np.random.default_rng(seed)
+    x = rng.poisson(0.7, size=(S, B, D)).astype(dtype)
+    c = np.ones((S, B, 1), np.float32)
+    return x, c
+
+
+def _make_trainer(model, topt, fast):
+    kw = {}
+    if fast:
+        kw["fast_step"] = VMFNBFastStep(model, topt)
+    return Trainer(
+        lambda p, x, c, k, t: model.forward(p, x, k, t),
+        lambda x, o, b: vmfnb_composite_loss(x, o, b),
+        topt,
+        report_loss_override=lambda p, x, c, k, b: model.fused_step_report(
+            p, x, c, k, b, include_data_const=True),
+        boot_loss_override=lambda p, x, c, k, b: model.fused_step_boot(
+            p, x, c, k, b, need_value=False),
+        **kw,
+    )
+
+
+def test_joint_pack_unpack_roundtrip():
+    model = VMFNBVAE(data_dim=640, mean_latent=2)
+    params = model.init(jax.random.PRNGKey(1))
+    topt = TrainingOptions(nboot=3, superbatch=2, seed=0)
+    fast = VMFNBFastStep(model, topt)
+    back = fast.unpack(fast.pack(params))
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path]),
+                                      err_msg=str(path))
+
+
+@pytest.mark.parametrize("dtype", [np.int16, np.float32])
+def test_joint_fast_matches_generic_trajectory(dtype):
+    model = VMFNBVAE(data_dim=640, mean_latent=2)
+    topt = TrainingOptions(nboot=3, superbatch=2, seed=0)
+    x, c = _mk_data(dtype=dtype)
+
+    results = []
+    for fast in (False, True):
+        tr = _make_trainer(model, topt, fast)
+        params = model.init(jax.random.PRNGKey(0))
+        s = tr.optimizer.init(params)
+        reps = []
+        for epoch in range(2):
+            params, s, rep = tr.step(params, s, x, c, epoch,
+                                     np.arange(x.shape[0]))
+            reps.append(np.asarray(rep))
+        results.append((params, np.concatenate(reps)))
+
+    (p2, r2), (p3, r3) = results
+    np.testing.assert_allclose(r3, r2, rtol=2e-4)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(p2):
+        other = dict(jax.tree_util.tree_leaves_with_path(p3))[path]
+        # slightly wider atol than the NB test: the Gram-collapsed vMF
+        # normalizer adds one more reassociation source, worth ~3e-5
+        # absolute on isolated tiny-magnitude weights after 6 updates
+        np.testing.assert_allclose(np.asarray(other), np.asarray(leaf),
+                                   rtol=3e-3, atol=1e-4,
+                                   err_msg=str(path))
+
+
+def test_joint_fast_int_float_invariance():
+    model = VMFNBVAE(data_dim=640, mean_latent=2)
+    topt = TrainingOptions(nboot=2, superbatch=2, seed=0)
+    xi, c = _mk_data(dtype=np.int16)
+    xf = xi.astype(np.float32)
+    outs = []
+    for x in (xi, xf):
+        tr = _make_trainer(model, topt, fast=True)
+        params = model.init(jax.random.PRNGKey(0))
+        s = tr.optimizer.init(params)
+        params, s, rep = tr.step(params, s, x, c, 0, np.arange(2))
+        outs.append(np.asarray(rep))
+    np.testing.assert_array_equal(outs[0], outs[1])
