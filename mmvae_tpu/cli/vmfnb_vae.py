@@ -222,14 +222,16 @@ def main(argv=None) -> int:
             ),
         )
         # v3 packed-parameter step (ops/vmfnb_fast.py) on top of the
-        # joint kernels: hoisted data views, Gram-collapsed vMF half
-        from ..ops.vmfnb_fast import VMFNBFastStep
+        # joint kernels: hoisted data views, collapsed vMF contractions
+        from ..ops.vmfnb_fast import VMFNBFastStep, VMFNBMixtureFastStep
 
-        if VMFNBFastStep.supports(model):
-            fused_kw["fast_step"] = VMFNBFastStep(
-                model, topt,
-                kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
-            )
+        for fast_cls in (VMFNBFastStep, VMFNBMixtureFastStep):
+            if fast_cls.supports(model):
+                fused_kw["fast_step"] = fast_cls(
+                    model, topt,
+                    kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
+                )
+                break
 
     if _primary:
         # reference parity: model->pretty_print(std::cerr) at train

@@ -39,10 +39,11 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .fastmath import fasterlog
 from .lbessel import lbessel
-from .losses import gaussian_kl, l2_normalize
+from .losses import gaussian_kl, l2_normalize, uniform_kl
 from .nb_fast import (
     PackedFastStep,
     _data_mm,
@@ -426,3 +427,374 @@ class VMFNBFastStep(PackedFastStep):
             )
         vmf = self._vmf_nll(q, yobs, z_vmf, kappa)
         return (nll + vmf + beta * kl) / B
+
+
+@dataclass(frozen=True)
+class _MRows:
+    """Row indices of the packed (Krows, D) mixture parameter matrix."""
+
+    R: int
+    H: int
+    Rn: int
+    K: int  # mixture components
+
+    @property
+    def mu_dec_w(self):
+        return slice(0, self.R)
+
+    @property
+    def mu_dec_b(self):
+        return self.R
+
+    @property
+    def mu_bias(self):
+        return self.R + 1
+
+    @property
+    def nu_dec_w(self):
+        return slice(self.R + 2, self.R + 2 + self.Rn)
+
+    @property
+    def nu_dec_b(self):
+        return self.R + 2 + self.Rn
+
+    @property
+    def nu_bias(self):
+        return self.R + 3 + self.Rn
+
+    @property
+    def x_mean(self):
+        return self.R + 4 + self.Rn
+
+    @property
+    def ln_x_sd(self):
+        return self.R + 5 + self.Rn
+
+    @property
+    def mu_enc_w(self):  # (R, D) — transposed storage
+        a = self.R + 6 + self.Rn
+        return slice(a, a + self.R)
+
+    @property
+    def ndk_rows(self):  # (H+2, D): nu encoder, depth, ln_kappa rows
+        a = 2 * self.R + 6 + self.Rn
+        return slice(a, a + self.H + 2)
+
+    @property
+    def nu_enc_w(self):
+        a = 2 * self.R + 6 + self.Rn
+        return slice(a, a + self.H)
+
+    @property
+    def depth_w(self):
+        return 2 * self.R + 6 + self.Rn + self.H
+
+    @property
+    def kappa_w(self):
+        return 2 * self.R + 7 + self.Rn + self.H
+
+    @property
+    def vmf_mu_rows(self):  # (K, D) — ln_vmf_mu transposed storage
+        a = 2 * self.R + 8 + self.Rn + self.H
+        return slice(a, a + self.K)
+
+    @property
+    def Krows(self):
+        return 2 * self.R + 8 + self.Rn + self.H + self.K
+
+
+class VMFNBMixtureFastStep(PackedFastStep):
+    """Packed fast step for
+    :class:`~mmvae_tpu.models.vmfnb_mixture.VMFNBMixtureVAE`.
+
+    Same recipe as :class:`VMFNBFastStep`, plus the mixture-specific
+    collapses (reference vmfnb_mixture.hh:482-560, 607-654):
+
+    - the E-step input ``xn_vmf`` and the masked observation direction
+      ``yobs * filter`` are parameter-independent hoisted views;
+    - the masked mixture directions live as K packed rows, so the
+      E-step contraction and the loss contraction are two slim MXU
+      passes over the batch;
+    - the (B, D) mixture reconstruction is never materialized: the
+      loss needs only ``<yobs*filt, recon>``, which equals
+      ``sum(latent * (yobs_f @ mu^T), axis=1)`` because the recon is a
+      responsibility mix of the (already unit) masked directions.
+    """
+
+    def __init__(self, model, opt, kl=(1.0, 1e-2, 0.1)):
+        assert self.supports(model), (
+            "VMFNBMixtureFastStep requires the direct mixture "
+            "architecture with the default nu clamp"
+        )
+        self.model = model
+        self.opt = opt
+        self.kl_max, self.kl_min, self.kl_discount = kl
+        self.rows = _MRows(
+            R=model.mean_latent,
+            H=model.overdisp_encoding,
+            Rn=model.overdisp_latent,
+            K=model.n_components,
+        )
+        self._label = jnp.asarray(
+            np.asarray(model.label, dtype=np.float32).T)   # (K, D)
+        self._filt = jnp.asarray(model._filter())           # (1, D)
+        self._sv_segs, self._sv_len = self._build_sv_layout()
+        self.optimizer = _make_packed_optimizer(opt)
+
+    @staticmethod
+    def supports(model) -> bool:
+        from ..models.vmfnb_mixture import VMFNBMixtureVAE
+
+        return (
+            isinstance(model, VMFNBMixtureVAE)
+            and not model.mean_encoding
+            and not model.mean_decoding
+            and model._can_fuse_step()
+        )
+
+    def _build_sv_layout(self):
+        R, H, Rn, K = (self.rows.R, self.rows.H, self.rows.Rn,
+                       self.rows.K)
+        segs = {}
+        off = 0
+        for name, shape in [
+            ("nb_mu_encoding.bias", (R,)),
+            ("nb_mu_representation_mean_k.weight", (K, R, R)),
+            ("nb_mu_representation_mean_k.bias", (K, R)),
+            ("nb_mu_representation_logvariance.weight", (R, R)),
+            ("nb_mu_representation_logvariance.bias", (R,)),
+            ("nb_nu_encoding.bias", (H,)),
+            ("nb_nu_representation_mean.weight", (H, Rn)),
+            ("nb_nu_representation_mean.bias", (Rn,)),
+            ("nb_nu_representation_logvariance.weight", (H, Rn)),
+            ("nb_nu_representation_logvariance.bias", (Rn,)),
+            ("depth.bias", (1,)),
+            ("ln_kappa.bias", (1,)),
+        ]:
+            n = 1
+            for s in shape:
+                n *= s
+            segs[name] = (off, shape)
+            off += n
+        return segs, off
+
+    def pack(self, t: dict) -> dict:
+        r = self.rows
+        rows = [
+            t["nb_mu_decoding"]["weight"],
+            t["nb_mu_decoding"]["bias"][None, :],
+            t["mu_bias"],
+            t["nb_nu_decoding"]["weight"],
+            t["nb_nu_decoding"]["bias"][None, :],
+            t["nu_bias"],
+            t["x_mean"],
+            t["ln_x_sd"],
+            t["nb_mu_encoding"]["weight"].T,
+            t["nb_nu_encoding"]["weight"].T,
+            t["depth"]["weight"].T,
+            t["ln_kappa"]["weight"].T,
+            t["ln_vmf_mu"].T,                                # (K, D)
+        ]
+        P = jnp.concatenate(rows, axis=0)
+        assert P.shape[0] == r.Krows
+        sv_parts = []
+        for name in self._sv_segs:
+            top, leaf = name.split(".")
+            sv_parts.append(jnp.ravel(t[top][leaf]))
+        sv = jnp.concatenate(sv_parts)
+        return {"P": P, "sv": sv}
+
+    def unpack(self, q: dict) -> dict:
+        P, sv = q["P"], q["sv"]
+        r = self.rows
+        out = {
+            "x_mean": P[r.x_mean][None, :],
+            "ln_x_sd": P[r.ln_x_sd][None, :],
+            "mu_bias": P[r.mu_bias][None, :],
+            "nu_bias": P[r.nu_bias][None, :],
+            "ln_vmf_mu": P[r.vmf_mu_rows].T,
+            "nb_mu_decoding": {
+                "weight": P[r.mu_dec_w],
+                "bias": P[r.mu_dec_b],
+            },
+            "nb_nu_decoding": {
+                "weight": P[r.nu_dec_w],
+                "bias": P[r.nu_dec_b],
+            },
+            "nb_mu_encoding": {"weight": P[r.mu_enc_w].T},
+            "nb_nu_encoding": {"weight": P[r.nu_enc_w].T},
+            "depth": {"weight": P[r.depth_w][:, None]},
+            "ln_kappa": {"weight": P[r.kappa_w][:, None]},
+        }
+        for name, (off, shape) in self._sv_segs.items():
+            top, leaf = name.split(".")
+            n = 1
+            for s in shape:
+                n *= s
+            out.setdefault(top, {})[leaf] = jnp.reshape(
+                sv[off:off + n], shape
+            )
+        return out
+
+    def _sv(self, sv, name):
+        off, shape = self._sv_segs[name]
+        n = 1
+        for s in shape:
+            n *= s
+        return jnp.reshape(sv[off:off + n], shape)
+
+    # ------------------------------------------------------------------
+    def _views(self, x):
+        """(xn_core, xf, xn_vmf, ybf): parameter-independent hoists.
+        ``xn_vmf`` is the E-step input (vmfnb_mixture.hh:673-678);
+        ``ybf`` is the loss observation direction pre-masked by the
+        annotation filter (the recon the generic path materializes is
+        filter-masked, so contracting the mask into yobs is exact)."""
+        xf32 = x.astype(jnp.float32)
+        L = jnp.log1p(xf32)
+        xn_core = l2_normalize(L, axis=1)
+        D = float(self.model.data_dim)
+        eps = 1e-2 / D
+        xn_vmf = l2_normalize((L + eps) * self._filt, axis=1)
+        yobs = l2_normalize(jnp.log1p(jax.nn.relu(xf32)) + 1e-2 /
+                            float(self.model.dd), axis=1)
+        ybf = yobs * self._filt
+        if _use_bf16_data():
+            xn_core = xn_core.astype(jnp.bfloat16)
+            xf32 = xf32.astype(jnp.bfloat16)
+            xn_vmf = xn_vmf.astype(jnp.bfloat16)
+            ybf = ybf.astype(jnp.bfloat16)
+        return xn_core, xf32, xn_vmf, ybf
+
+    def _draw_batch(self, key, B: int):
+        """split(key, 3) -> (gumbel, mu, nu); the Gumbel key is unused
+        in training mode (responsibilities are the soft E-step,
+        vmfnb_mixture.hh:688-691) but the split order must mirror the
+        generic path so the mu/nu draws are bitwise identical."""
+        R, Rn = self.rows.R, self.rows.Rn
+        k_rep, k_boot = jax.random.split(key)
+
+        def draws(k):
+            _, k_mu, k_nu = jax.random.split(k, 3)
+            return (jax.random.normal(k_mu, (B, R)),
+                    jax.random.normal(k_nu, (B, Rn)))
+
+        rep_eps = draws(k_rep)
+
+        def boot(i):
+            kb = jax.random.fold_in(k_boot, i)
+            k_idx, k_fwd = jax.random.split(kb)
+            ridx = jax.random.randint(k_idx, (B,), 0, B)
+            return (ridx,) + draws(k_fwd)
+
+        ridx, b_mu, b_nu = jax.vmap(boot)(
+            jnp.arange(self.opt.nboot, dtype=jnp.uint32)
+        )
+        return dict(rep_eps=rep_eps, ridx=ridx, boot_eps=(b_mu, b_nu))
+
+    # ------------------------------------------------------------------
+    def _estep(self, q, xn_vmf, kappa):
+        """Normalized masked directions + responsibilities
+        (vmfnb_mixture.hh:538-560, 680-691), on packed rows."""
+        P = q["P"]
+        r = self.rows
+        eps = 1e-2 / float(self.model.data_dim)
+        # rows are ln_vmf_mu^T: normalize each component over features
+        vmu = l2_normalize(
+            (jnp.exp(P[r.vmf_mu_rows]) + eps) * self._label, axis=1
+        )                                                   # (K, D)
+        logits = jax.nn.log_softmax(_data_mm(xn_vmf, vmu) * kappa,
+                                    axis=1)
+        return vmu, logits, jnp.exp(logits)
+
+    def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
+              boot: bool):
+        del c  # no covariate pathway
+        xn_core, xf, xn_vmf, ybf = views
+        if ridx is not None:
+            x = jnp.take(x, ridx, axis=0)
+            xn_core = jnp.take(xn_core, ridx, axis=0)
+            xf = jnp.take(xf, ridx, axis=0)
+            xn_vmf = jnp.take(xn_vmf, ridx, axis=0)
+            ybf = jnp.take(ybf, ridx, axis=0)
+        P = q["P"]
+        r = self.rows
+        # ONE raw-count MXU pass serves nu encoder, depth AND kappa;
+        # kappa gates the E-step, the E-step's responsibilities mix the
+        # mu heads — same dependency order as the generic path
+        # (vmfnb_mixture.hh:562-576)
+        ndk = _data_mm(xf, P[r.ndk_rows])
+        H = r.H
+        sv = q["sv"]
+        ln_kappa = ndk[:, H + 1:H + 2] + self._sv(sv, "ln_kappa.bias")
+        kappa = jnp.exp(jnp.clip(
+            ln_kappa,
+            fasterlog(self.model.kappa_min),
+            fasterlog(self.model.kappa_max),
+        ))
+        vmu, logits, latent = self._estep(q, xn_vmf, kappa)
+
+        sd = _softplus(P[r.ln_x_sd]) + 1e-2
+        Wt = P[r.mu_enc_w] / sd
+        h = _data_mm(xn_core, Wt) - P[r.x_mean] @ Wt.T
+        h = h + self._sv(sv, "nb_mu_encoding.bias")
+        if self.model.do_relu:
+            h = jax.nn.relu(h)
+        heads_w = self._sv(sv, "nb_mu_representation_mean_k.weight")
+        heads_b = self._sv(sv, "nb_mu_representation_mean_k.bias")
+        mu_k = jnp.einsum("nh,khr->nkr", h, heads_w) + heads_b[None]
+        mu_mean = jnp.sum(mu_k * latent[:, :, None], axis=1)
+        mu_lnvar = jnp.clip(
+            h @ self._sv(sv, "nb_mu_representation_logvariance.weight")
+            + self._sv(sv, "nb_mu_representation_logvariance.bias"),
+            -4.0, 4.0,
+        )
+        nu_h = jax.nn.relu(ndk[:, :H] + self._sv(sv, "nb_nu_encoding.bias"))
+        nu_mean = (
+            nu_h @ self._sv(sv, "nb_nu_representation_mean.weight")
+            + self._sv(sv, "nb_nu_representation_mean.bias")
+        )
+        nu_lnvar = jnp.clip(
+            nu_h @ self._sv(sv, "nb_nu_representation_logvariance.weight")
+            + self._sv(sv, "nb_nu_representation_logvariance.bias"),
+            -4.0, 4.0,
+        )
+        depth = _softplus(ndk[:, H:H + 1] + self._sv(sv, "depth.bias"))
+
+        z_mu = self._reparam(eps[0], mu_mean, mu_lnvar)
+        z_nu = self._reparam(eps[1], nu_mean, nu_lnvar)
+        kl = (gaussian_kl(mu_mean, mu_lnvar)
+              + gaussian_kl(nu_mean, nu_lnvar)
+              + uniform_kl(logits))
+
+        wd = P[r.mu_dec_w]
+        bias2 = P[r.mu_dec_b]
+        wn = P[r.nu_dec_w]
+        bias_n = P[r.nu_dec_b] - P[r.nu_bias]
+        pb = P[r.mu_bias]
+        B = x.shape[0]
+        cz = jnp.zeros((B, 1), jnp.float32)
+        wcz = jnp.zeros((1, x.shape[1]), jnp.float32)
+        if boot:
+            nll = nb_step_boot_joint_gradonly(
+                x, z_mu, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n, pb
+            )
+        else:
+            nll = nb_step_report(
+                x, z_mu, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n,
+                include_const=include_const, pb=pb, nu_exp=True,
+            )
+
+        # vMF loss without the (B, D) recon: recon = (latent @ mu^T) *
+        # filt and the loss needs only <yobs, recon> =
+        # sum(latent * (ybf @ mu^T), 1)  (vmfnb_mixture.hh:610-629)
+        t = _data_mm(ybf, vmu)                               # (B, K)
+        dot = jnp.sum(latent * t, axis=1)
+        dd = float(self.model.dd)
+        df = max(0.5 * dd - 1.0, 0.0)
+        k = kappa[:, 0]
+        llik = dot * k
+        llik += df * jnp.log(k) - lbessel(k, df)
+        llik -= 0.5 * dd * fasterlog(2.0 * math.pi)
+        vmf_nll = -jnp.sum(llik)
+        return (nll + vmf_nll + beta * kl) / B

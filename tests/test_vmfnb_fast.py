@@ -104,3 +104,81 @@ def test_joint_fast_int_float_invariance():
         params, s, rep = tr.step(params, s, x, c, 0, np.arange(2))
         outs.append(np.asarray(rep))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+# ----------------------------------------------------------------------
+# mixture model
+# ----------------------------------------------------------------------
+
+def _mk_label(D=640, K=5, seed=11):
+    rng = np.random.default_rng(seed)
+    L = (rng.random((D, K)) < 0.25).astype(np.float32)
+    L[:K] = np.eye(K, dtype=np.float32)  # every component non-empty
+    return L
+
+
+def _make_mixture_trainer(model, topt, fast):
+    from mmvae_tpu.models.vmfnb_mixture import mixture_composite_loss
+    from mmvae_tpu.ops.vmfnb_fast import VMFNBMixtureFastStep
+
+    kw = {}
+    if fast:
+        kw["fast_step"] = VMFNBMixtureFastStep(model, topt)
+    dd = model.dd
+    return Trainer(
+        lambda p, x, c, k, t: model.forward(p, x, k, t),
+        lambda x, o, b: mixture_composite_loss(x, o, b, dd),
+        topt,
+        report_loss_override=lambda p, x, c, k, b: model.fused_step_report(
+            p, x, c, k, b, include_data_const=True),
+        boot_loss_override=lambda p, x, c, k, b: model.fused_step_boot(
+            p, x, c, k, b, need_value=False),
+        **kw,
+    )
+
+
+def test_mixture_pack_unpack_roundtrip():
+    from mmvae_tpu.models.vmfnb_mixture import VMFNBMixtureVAE
+    from mmvae_tpu.ops.vmfnb_fast import VMFNBMixtureFastStep
+
+    model = VMFNBMixtureVAE(label=_mk_label(), mean_latent=2)
+    params = model.init(jax.random.PRNGKey(1))
+    topt = TrainingOptions(nboot=3, superbatch=2, seed=0)
+    fast = VMFNBMixtureFastStep(model, topt)
+    back = fast.unpack(fast.pack(params))
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path]),
+                                      err_msg=str(path))
+
+
+@pytest.mark.parametrize("dtype", [np.int16, np.float32])
+def test_mixture_fast_matches_generic_trajectory(dtype):
+    from mmvae_tpu.models.vmfnb_mixture import VMFNBMixtureVAE
+
+    model = VMFNBMixtureVAE(label=_mk_label(), mean_latent=2)
+    topt = TrainingOptions(nboot=3, superbatch=2, seed=0)
+    x, c = _mk_data(dtype=dtype)
+
+    results = []
+    for fast in (False, True):
+        tr = _make_mixture_trainer(model, topt, fast)
+        params = model.init(jax.random.PRNGKey(0))
+        s = tr.optimizer.init(params)
+        reps = []
+        for epoch in range(2):
+            params, s, rep = tr.step(params, s, x, c, epoch,
+                                     np.arange(x.shape[0]))
+            reps.append(np.asarray(rep))
+        results.append((params, np.concatenate(reps)))
+
+    (p2, r2), (p3, r3) = results
+    np.testing.assert_allclose(r3, r2, rtol=2e-4)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(p2):
+        other = dict(jax.tree_util.tree_leaves_with_path(p3))[path]
+        np.testing.assert_allclose(np.asarray(other), np.asarray(leaf),
+                                   rtol=3e-3, atol=1e-4,
+                                   err_msg=str(path))
