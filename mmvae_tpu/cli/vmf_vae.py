@@ -131,6 +131,17 @@ def main(argv=None) -> int:
 
         mesh = make_mesh()
 
+    if tp == 1 and topt.fused_step:
+        # v3 packed-parameter step (ops/vmf_fast.py): hoisted data
+        # views, hoisted encoder algebra, 2-leaf optimizer
+        from ..ops.vmf_fast import VMFFastStep
+
+        if VMFFastStep.supports(model):
+            fused_kw["fast_step"] = VMFFastStep(
+                model, topt,
+                kl=(opts.kl_max, opts.kl_min, opts.kl_discount),
+            )
+
     if _primary:
         # reference parity: model->pretty_print(std::cerr) at train
         # start (mmvae_alg.hh:238)
