@@ -548,3 +548,81 @@ def test_tp_name_aware_pspecs_hidden_width_equals_D():
         np.asarray(rep_tp), np.asarray(rep_dp), rtol=3e-5
     )
     _tp_vs_dp_params_close(p_tp, p_dp)
+
+
+def _dp_trajectory(model, topt, x_sb, c_sb, forward, loss_fn, fast_step,
+                   epochs=2, **trainer_kw):
+    tr = Trainer(forward, loss_fn, topt, mesh=make_mesh(),
+                 dp_shard_map=True, fast_step=fast_step, **trainer_kw)
+    params = model.init(jax.random.PRNGKey(0))
+    s = tr.optimizer.init(params)
+    reps = []
+    for epoch in range(epochs):
+        params, s, rep = tr.step(params, s, x_sb, c_sb, epoch,
+                                 np.arange(x_sb.shape[0]))
+        reps.append(np.asarray(rep))
+    return params, np.concatenate(reps)
+
+
+def _assert_trees_close(p_a, p_b, rtol=3e-3, atol=1e-4):
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(p_b))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(p_a):
+        np.testing.assert_allclose(
+            np.asarray(flat_b[path]), np.asarray(leaf),
+            rtol=rtol, atol=atol, err_msg=str(path),
+        )
+
+
+def test_dp_shard_map_fast_step_matches_generic_nb():
+    """The packed fast step under shard_map DP draws the same per-shard
+    PRNG streams as the generic DP path (fold_in(batch) then
+    fold_in(shard)), so trajectories must agree up to the fast path's
+    documented float reassociation."""
+    from mmvae_tpu.ops.nb_fast import NBFastStep
+
+    _need_devices(8)
+    D, B, S = 640, 16, 2
+    model = NBVAE(data_dim=D, covar_dim=1)
+    rng = np.random.default_rng(5)
+    x_sb = rng.poisson(0.7, size=(S, B, D)).astype(np.int16)
+    c_sb = np.ones((S, B, 1), np.float32)
+    topt = TrainingOptions(nboot=2, superbatch=S, seed=0)
+
+    kw = dict(
+        boot_loss_fn=lambda x, o, b: nb_loss(x, o, b,
+                                             include_data_const=False),
+        report_loss_override=lambda p, x, c, k, b: model.fused_step_report(
+            p, x, c, k, b, include_data_const=True),
+        boot_loss_override=lambda p, x, c, k, b: model.fused_step_boot(
+            p, x, c, k, b),
+    )
+    fwd = lambda p, x, c, k, t: model.forward(p, x, c, k, t)
+    lf = lambda x, o, b: nb_loss(x, o, b)
+    p_gen, r_gen = _dp_trajectory(model, topt, x_sb, c_sb, fwd, lf,
+                                  None, **kw)
+    p_fast, r_fast = _dp_trajectory(model, topt, x_sb, c_sb, fwd, lf,
+                                    NBFastStep(model, topt), **kw)
+    np.testing.assert_allclose(r_fast, r_gen, rtol=2e-4)
+    _assert_trees_close(p_gen, p_fast)
+
+
+def test_dp_shard_map_fast_step_matches_generic_vmf():
+    from mmvae_tpu.models.vmf import VMFVAE
+    from mmvae_tpu.ops.losses import vmf_loss
+    from mmvae_tpu.ops.vmf_fast import VMFFastStep
+
+    _need_devices(8)
+    D, B, S = 640, 16, 2
+    model = VMFVAE(data_dim=D, covar_dim=1)
+    rng = np.random.default_rng(7)
+    x_sb = rng.poisson(0.7, size=(S, B, D)).astype(np.int16)
+    c_sb = np.ones((S, B, 1), np.float32)
+    topt = TrainingOptions(nboot=2, superbatch=S, seed=0)
+
+    fwd = lambda p, x, c, k, t: model.forward(p, x, c, k, t)
+    lf = lambda x, o, b: vmf_loss(x, o, b)
+    p_gen, r_gen = _dp_trajectory(model, topt, x_sb, c_sb, fwd, lf, None)
+    p_fast, r_fast = _dp_trajectory(model, topt, x_sb, c_sb, fwd, lf,
+                                    VMFFastStep(model, topt))
+    np.testing.assert_allclose(r_fast, r_gen, rtol=2e-4)
+    _assert_trees_close(p_gen, p_fast)
