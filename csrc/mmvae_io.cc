@@ -17,6 +17,7 @@
 
 #include <zlib.h>
 
+#include <atomic>
 #include <cctype>
 #include <cstdint>
 #include <cstdio>
@@ -375,6 +376,154 @@ int64_t mmvae_read_csc(const char *path, int64_t ncols,
     *vals_out = (float *)malloc(sizeof(float) * (size_t)n);
     memcpy(*rows_out, rows.data(), sizeof(int32_t) * (size_t)n);
     memcpy(*vals_out, vals.data(), sizeof(float) * (size_t)n);
+    *indptr_out = indptr;
+    stats[0] = integral ? 1.0 : 0.0;
+    stats[1] = vmax;
+    stats[2] = vmin;
+    stats[3] = (double)kmax;
+    return n;
+}
+
+namespace {
+
+// One thread's share of the threaded CSC read: the file-order
+// subsequence of nonzeros whose columns fall in [col_lo, col_hi).
+struct CscPart {
+    std::vector<int32_t> rows;
+    std::vector<float> vals;
+    std::vector<int64_t> counts;  // per column of the window
+    double vmax = 0.0, vmin = 0.0;
+    bool integral = true;
+    bool any = false;
+    int rc = 0;  // 0 ok, -1 io error, -2 unsorted/out-of-window
+};
+
+// Parse one voffset range [beg, end) of a column-sorted mtx into `part`.
+// `end == LAST_POS` means EOF.  Range boundaries are line starts taken
+// from the column index, so checking tell() BEFORE each line is exact.
+static void scan_csc_range(const char *path, int64_t beg, int64_t end,
+                           int64_t col_lo, int64_t col_hi, int64_t nrows,
+                           CscPart &part, std::atomic<int64_t> &meter) {
+    BgzfIn in;
+    if (!in.open(path)) {
+        part.rc = -1;
+        return;
+    }
+    in.seek_voffset(beg);
+    part.counts.assign((size_t)(col_hi - col_lo), 0);
+    std::string line;
+    int64_t last_col = col_lo - 1;
+    int64_t local = 0;
+    while (end == LAST_POS || in.tell_voffset() < end) {
+        if (!in.getline(line)) break;
+        if (line.empty() || line[0] == '%') continue;
+        if (++local % 1000000 == 0) {
+            int64_t tot = meter.fetch_add(1000000) + 1000000;
+            if (tot % 10000000 == 0) {
+                fprintf(stderr, "\rread %lldM nonzeros",
+                        (long long)(tot / 1000000));
+                fflush(stderr);
+            }
+        }
+        int64_t r, c;
+        double w;
+        if (!parse_triplet(line.c_str(), line.c_str() + line.size(), r, c, w))
+            continue;
+        --r;
+        --c;
+        if (r < 0 || r >= nrows) continue;
+        // a column outside this range's window means the index and the
+        // file disagree — bail out so the caller falls back to the
+        // serial reader rather than silently mis-merging
+        if (c < col_lo || c >= col_hi || c < last_col) {
+            part.rc = -2;
+            return;
+        }
+        last_col = c;
+        ++part.counts[(size_t)(c - col_lo)];
+        part.rows.push_back((int32_t)r);
+        part.vals.push_back((float)w);
+        if (!part.any) {
+            part.vmax = part.vmin = w;
+            part.any = true;
+        } else {
+            if (w > part.vmax) part.vmax = w;
+            if (w < part.vmin) part.vmin = w;
+        }
+        if (part.integral && (w < 0.0 || w != (double)(int64_t)w))
+            part.integral = false;
+    }
+}
+
+}  // namespace
+
+// Threaded whole-file CSC read.  The column index partitions the file
+// into `nranges` column-disjoint voffset ranges: range k starts at the
+// line-start voffset `begs[k]` (ends at begs[k+1]; the last range runs
+// to EOF) and owns columns [col_lo[k], col_lo[k+1]) (the last up to
+// ncols).  Each range parses through a private BgzfIn, and because the
+// ranges tile the file in order, concatenating the per-range arrays
+// reproduces the serial reader's file-order output BITWISE — same
+// rows/vals/indptr/stats as mmvae_read_csc.  Returns nnz; -1 on I/O
+// error; -2 when any range sees an out-of-window or unsorted column
+// (caller falls back to the serial reader).
+int64_t mmvae_read_csc_mt(const char *path, int64_t ncols, int64_t nrows,
+                          const int64_t *begs, const int64_t *col_lo,
+                          int64_t nranges,
+                          int32_t **rows_out, float **vals_out,
+                          int64_t **indptr_out, double *stats) {
+    std::vector<CscPart> parts((size_t)nranges);
+    std::atomic<int64_t> meter{0};
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)nranges);
+    for (int64_t k = 0; k < nranges; ++k) {
+        int64_t end = (k + 1 < nranges) ? begs[k + 1] : LAST_POS;
+        int64_t hi = (k + 1 < nranges) ? col_lo[k + 1] : ncols;
+        pool.emplace_back([&, k, end, hi] {
+            scan_csc_range(path, begs[k], end, col_lo[k], hi, nrows,
+                           parts[(size_t)k], meter);
+        });
+    }
+    for (auto &t : pool) t.join();
+    if (meter.load() >= 10000000) fprintf(stderr, "\n");
+    int64_t n = 0;
+    for (auto &p : parts) {
+        if (p.rc != 0) return p.rc;
+        n += (int64_t)p.rows.size();
+    }
+
+    int64_t *indptr = (int64_t *)calloc((size_t)ncols + 1, sizeof(int64_t));
+    int32_t *rows = (int32_t *)malloc(sizeof(int32_t) * (size_t)n);
+    float *vals = (float *)malloc(sizeof(float) * (size_t)n);
+    int64_t off = 0;
+    int64_t kmax = 0;
+    bool integral = true, any = false;
+    double vmax = 0.0, vmin = 0.0;
+    for (int64_t k = 0; k < nranges; ++k) {
+        CscPart &p = parts[(size_t)k];
+        memcpy(rows + off, p.rows.data(), sizeof(int32_t) * p.rows.size());
+        memcpy(vals + off, p.vals.data(), sizeof(float) * p.vals.size());
+        off += (int64_t)p.rows.size();
+        for (size_t j = 0; j < p.counts.size(); ++j) {
+            int64_t cnt = p.counts[j];
+            indptr[col_lo[k] + (int64_t)j + 1] += cnt;
+            if (cnt > kmax) kmax = cnt;
+        }
+        if (p.any) {
+            if (!any) {
+                vmax = p.vmax;
+                vmin = p.vmin;
+                any = true;
+            } else {
+                if (p.vmax > vmax) vmax = p.vmax;
+                if (p.vmin < vmin) vmin = p.vmin;
+            }
+        }
+        integral = integral && p.integral;
+    }
+    for (int64_t c = 0; c < ncols; ++c) indptr[c + 1] += indptr[c];
+    *rows_out = rows;
+    *vals_out = vals;
     *indptr_out = indptr;
     stats[0] = integral ? 1.0 : 0.0;
     stats[1] = vmax;

@@ -218,8 +218,17 @@ class MtxMemoryBlock:
                 # one-pass native CSC read: builds indptr and value
                 # stats during the parse — on slow hosts the numpy
                 # lexsort/gather/scan passes over ~100M nonzeros cost
-                # minutes (None when the file isn't column-sorted)
-                got = native.read_csc(self.mtx_file, self.N)
+                # minutes (None when the file isn't column-sorted).
+                # With a column index and spare cores the parse runs
+                # range-parallel (bitwise-identical merge); any
+                # index/file disagreement falls back to the serial pass
+                got = None
+                if self.idx_file and os.path.exists(self.idx_file):
+                    got = native.read_csc_threaded(
+                        self.mtx_file, self.N, self.D, self.idx_file
+                    )
+                if got is None:
+                    got = native.read_csc(self.mtx_file, self.N)
                 if got is not None:
                     self._rows, self._vals, self._indptr, self._stats = got
                     csc_done = True

@@ -108,6 +108,14 @@ def _bind(lib) -> None:
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.mmvae_read_csc.restype = _i64
+        lib.mmvae_read_csc_mt.argtypes = [
+            ctypes.c_char_p, _i64, _i64,
+            _pi64, _pi64, _i64,        # begs, col_lo, nranges
+            ctypes.POINTER(_pi32), ctypes.POINTER(_pf32),
+            ctypes.POINTER(_pi64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.mmvae_read_csc_mt.restype = _i64
         lib.mmvae_ell_fill.argtypes = [
             _pi32, _pf32, _pi64, _i64, _i64,
             _pi32, ctypes.c_void_p, ctypes.c_int,
@@ -196,6 +204,11 @@ def read_csc(path: str, ncols: int):
         ctypes.byref(rows_p), ctypes.byref(vals_p),
         ctypes.byref(indptr_p), stats,
     )
+    return _unpack_csc(lib, n, rows_p, vals_p, indptr_p, stats, ncols,
+                       path)
+
+
+def _unpack_csc(lib, n, rows_p, vals_p, indptr_p, stats, ncols, path):
     if n == -2:
         return None
     if n < 0:
@@ -217,6 +230,57 @@ def read_csc(path: str, ncols: int):
         "vmin": float(stats[2]),
         "k_max": int(stats[3]),
     }
+
+
+def read_csc_threaded(path: str, ncols: int, nrows: int, idx_file: str,
+                      nthreads: int | None = None):
+    """Threaded :func:`read_csc`: the column index partitions the file
+    into column-disjoint voffset ranges parsed in parallel, each with a
+    private BGZF reader; the merge reproduces the serial reader's
+    output bitwise (ranges tile the file in order).  Designed for
+    multi-core TPU hosts where the one-pass parse is the cold-start
+    bottleneck.  Returns None when threading is not applicable (one
+    usable range, missing index) or when the index and file disagree —
+    callers fall back to :func:`read_csc`."""
+    lib = _load()
+    if nthreads is None:
+        nthreads = decode_threads()
+    if nthreads <= 1:
+        return None
+    from .index import read_mmutil_index
+    from .mtx import header_end_voffset
+
+    try:
+        tab = read_mmutil_index(idx_file)
+    except (OSError, ValueError):
+        return None
+    start0 = header_end_voffset(path)
+    col_lo = [0]
+    begs = [int(start0)]
+    for k in range(1, int(nthreads)):
+        c = k * ncols // int(nthreads)
+        if c >= len(tab) or c <= col_lo[-1]:
+            continue
+        off = int(tab[c])
+        if off > begs[-1]:
+            col_lo.append(int(c))
+            begs.append(off)
+    if len(begs) < 2:
+        return None
+    begs_a = np.asarray(begs, np.int64)
+    lo_a = np.asarray(col_lo, np.int64)
+    _pi32 = ctypes.POINTER(ctypes.c_int32)
+    rows_p, vals_p, indptr_p = _pi32(), _pf32(), _pi64()
+    stats = (ctypes.c_double * 4)()
+    n = lib.mmvae_read_csc_mt(
+        os.fspath(path).encode(), ncols, nrows,
+        begs_a.ctypes.data_as(_pi64), lo_a.ctypes.data_as(_pi64),
+        len(begs),
+        ctypes.byref(rows_p), ctypes.byref(vals_p),
+        ctypes.byref(indptr_p), stats,
+    )
+    return _unpack_csc(lib, n, rows_p, vals_p, indptr_p, stats, ncols,
+                       path)
 
 
 def ell_fill(rows: np.ndarray, vals: np.ndarray, indptr: np.ndarray,

@@ -203,3 +203,79 @@ def test_consecutive_empty_columns_read_safely(tmp_path):
     db.clear()
     got = db.read(np.array([2, 3, 5, 2, 3, 0]))
     assert np.array_equal(got, dens[:, [2, 3, 5, 2, 3, 0]].T)
+
+
+def test_native_read_csc_threaded_matches_serial(tmp_path, rng):
+    """The range-parallel CSC read (column-index partition, private
+    readers, ordered merge) is BITWISE equal to the serial one-pass
+    reader for any thread count, on a file with mid-file comments and
+    duplicate (row, col) entries."""
+    from mmvae_tpu.io.writers import write_matrix_market_file
+    from mmvae_tpu.io.index import build_mmutil_index
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    D, N = 23, 301
+    rr, cc, vv, dens = make_count_matrix(rng, D, N)
+    # inject duplicate entries for a few columns (kept column-sorted)
+    dup = np.flatnonzero(cc % 37 == 0)[:25]
+    rr = np.concatenate([rr, rr[dup]])
+    cc = np.concatenate([cc, cc[dup]])
+    vv = np.concatenate([vv, vv[dup]])
+    order = np.lexsort((rr, cc))
+    path = str(tmp_path / "dup.mtx.gz")
+    write_matrix_market_file(path, rr[order], cc[order], vv[order], (D, N))
+    # splice mid-file comment lines in by rewriting with comments
+    from mmvae_tpu.io.bgzf import BgzfReader, BgzfWriter
+
+    with BgzfReader(path) as r:
+        payload = r.read_all().splitlines()
+    path2 = str(tmp_path / "dupc.mtx.gz")
+    w = BgzfWriter(path2)
+    for i, ln in enumerate(payload):
+        w.write(ln + b"\n")
+        if i in (40, 200):
+            w.write(b"% a mid-file comment\n")
+    w.close()
+    idx = build_mmutil_index(path2)
+
+    ref = native.read_csc(path2, N)
+    assert ref is not None
+    for nthreads in (2, 3, 7):
+        got = native.read_csc_threaded(path2, N, D, idx,
+                                       nthreads=nthreads)
+        assert got is not None, f"nthreads={nthreads}"
+        for a, b, name in zip(got[:3], ref[:3],
+                              ("rows", "vals", "indptr")):
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        assert got[3] == ref[3]
+    # nthreads=1 is "not applicable" — callers use the serial reader
+    assert native.read_csc_threaded(path2, N, D, idx, nthreads=1) is None
+
+
+def test_native_read_csc_threaded_rejects_bad_index(tmp_path, rng):
+    """An index that disagrees with the file (offsets pointing at the
+    wrong columns) must make the threaded reader bail out (None) so the
+    caller falls back to the serial pass — never a silent mis-merge."""
+    from mmvae_tpu.io.writers import write_matrix_market_file
+    from mmvae_tpu.io.index import build_mmutil_index
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    D, N = 11, 97
+    rr, cc, vv, dens = make_count_matrix(rng, D, N)
+    path = str(tmp_path / "ok.mtx.gz")
+    write_matrix_market_file(path, rr, cc, vv, (D, N))
+    idx = build_mmutil_index(path)
+    # corrupt the index: shift every recorded column up by 30
+    pairs = []
+    with gzip.open(idx, "rt") as f:
+        for ln in f:
+            c, off = ln.split()
+            pairs.append((int(c), int(off)))
+    bad = str(tmp_path / "bad.index")
+    with gzip.open(bad, "wt") as f:
+        for c, off in pairs:
+            f.write(f"{min(c + 30, N - 1)}\t{off}\n")
+    got = native.read_csc_threaded(path, N, D, bad, nthreads=4)
+    assert got is None
