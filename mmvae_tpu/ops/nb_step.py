@@ -56,6 +56,21 @@ from .nb_elbo import (
 _INTERPRET = False  # flipped by tests on CPU
 
 _TD = 1024          # lane tile width (wider measured slower on v5e)
+
+
+def _tile_for(bp: int) -> int:
+    """Lane tile width for a padded batch of ``bp`` rows.
+
+    The step kernels' scoped VMEM scales ~ bp x tile (several (bp, td)
+    f32 accumulators plus double-buffered operand blocks); at the
+    reference batch (bp=104) the fastest tile is 1024, but larger
+    batches must narrow the tile to stay under Mosaic's 16 MB scoped
+    VMEM (measured: bp=400 x td=1024 wants 26.6 MB).  bp x td <=
+    104 x 2048 keeps the footprint at ~13 MB worst case."""
+    td = _TD
+    while td > 128 and bp * td > 104 * 2048:
+        td //= 2
+    return td
 _XMAX_FAST = 7.0   # fast path covers integer counts 0..7
 
 
@@ -389,7 +404,7 @@ def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
 def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
                 has_pb=False, nu_exp=False):
     bp, Dp = x.shape
-    td = _TD
+    td = _tile_for(bp)
     nj = Dp // td
     Tp = W.shape[0]
     R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
@@ -553,7 +568,7 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
 def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
                   nu_exp=False, need_value=True):
     bp, Dp = x.shape
-    td = _TD
+    td = _tile_for(bp)
     nj = Dp // td
     Tp = W.shape[0]
     R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
@@ -637,7 +652,7 @@ def _finish_call(zm, c, lse, rsum, W, *, D):
     bp = zm.shape[0]
     Tp = W.shape[0]
     Dp = W.shape[1]
-    td = _TD
+    td = _tile_for(bp)
     nj = Dp // td
     R, C = zm.shape[1], c.shape[1]
     kernel = _make_finish_kernel(R, C, td, D)
@@ -673,7 +688,7 @@ def _finish_call(zm, c, lse, rsum, W, *, D):
 def _prep(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb=None):
     B, D = x.shape
     bp = _ceil_to(B, 8)
-    Dp = _ceil_to(D, _TD)
+    Dp = _ceil_to(D, _tile_for(bp))
     R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
 
     def rpad(a):
@@ -716,7 +731,8 @@ def nb_step_report(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
     xp, zmp, cp, znp, dpp, W, dims = _prep(
         x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb
     )
-    lse = _lse_call(zmp, cp, W, dims["bp"], dims["Dp"], _TD, dims["D"],
+    lse = _lse_call(zmp, cp, W, dims["bp"], dims["Dp"],
+                    _tile_for(dims["bp"]), dims["D"],
                     dims["R"], dims["C"])
     if model_axis is not None:
         lse = _combine_lse(lse, model_axis)
@@ -767,7 +783,8 @@ def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
     )
     B, D, R, C, Rn = (dims["B"], dims["D"], dims["R"], dims["C"],
                       dims["Rn"])
-    lse = _lse_call(zmp, cp, W, dims["bp"], dims["Dp"], _TD, D, R, C)
+    lse = _lse_call(zmp, cp, W, dims["bp"], dims["Dp"],
+                    _tile_for(dims["bp"]), D, R, C)
     if model_axis is not None:
         lse = _combine_lse(lse, model_axis)
     nll, gout, rsum, u1, dzn, dd = _valgrad_call(
