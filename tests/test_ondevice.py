@@ -304,3 +304,45 @@ def test_superbatch_record_matches_perbatch(setup, tmp_path, monkeypatch):
     mf, lf = run("fastrec", False)
     np.testing.assert_allclose(mf, ms, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(lf, ls, rtol=1e-5, atol=1e-7)
+
+
+def test_ondevice_vmf_fast_step_with_recording(setup, tmp_path):
+    """vMF fast step x on-device epochs x recording: trajectory matches
+    the generic host path, and recording epochs (which unpack the
+    packed state per batch for the encoder) produce the artifacts."""
+    from mmvae_tpu.models.vmf import VMFVAE
+    from mmvae_tpu.ops.losses import vmf_loss
+    from mmvae_tpu.ops.vmf_fast import VMFFastStep
+    from mmvae_tpu.train.recorder import LatentRecorder
+
+    data, covar, model_nb = setup
+    model = VMFVAE(data_dim=data.nfeature(), covar_dim=1)
+    topt = TrainingOptions(nboot=2, max_epoch=2, recording=2,
+                           superbatch=2, seed=0)
+
+    results = []
+    for fast, ondevice in ((False, False), (True, True)):
+        params = model.init(jax.random.PRNGKey(0))
+        rec = LatentRecorder(
+            str(tmp_path / ("fast" if fast else "gen")), 2, data.ntot(),
+            encode_fn=lambda p, x: model.encode(p, x),
+            mean_name="latent_mean", lnvar_name="latent_lnvar",
+        )
+        kw = {}
+        if fast:
+            kw["fast_step"] = VMFFastStep(model, topt)
+        params, losses = train_vae_model(
+            lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+            rec, data, covar, topt,
+            lambda x, out, beta: vmf_loss(x, out, beta),
+            params, ondevice=ondevice, **kw,
+        )
+        results.append((params, losses))
+    (p_gen, l_gen), (p_fast, l_fast) = results
+    np.testing.assert_allclose(l_fast, l_gen, rtol=2e-5)
+    assert (tmp_path / "fast_1.latent_mean.gz").exists()
+    import gzip
+
+    a = np.loadtxt(gzip.open(tmp_path / "fast_1.latent_mean.gz"))
+    b = np.loadtxt(gzip.open(tmp_path / "gen_1.latent_mean.gz"))
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
