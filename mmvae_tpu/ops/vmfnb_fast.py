@@ -264,35 +264,46 @@ class VMFNBFastStep(PackedFastStep):
         return jnp.reshape(sv[off:off + n], shape)
 
     def _views(self, x):
-        """(xn_core, xf, yobs): all parameter-independent, so one
+        """(L, xf, inv_nL, inv_nY): the log1p counts plus per-row
+        normalizer reciprocals — all parameter-independent, so one
         computation serves the report pass and every boot (gathered by
-        row).  bf16 storage on TPU is bitwise-neutral — each view is
-        consumed only by DEFAULT-precision dots (see nb_fast)."""
+        row).
+
+        Both (B, D) directions the model consumes are row-scalings of
+        the SAME array: the encoder's ``xn_core = L / |L|``
+        (vmfnb.hh:601-611) and the vMF observation
+        ``yobs = (L + eps) / |L + eps|`` (vmfnb.hh:554-560, counts are
+        non-negative so relu(x) == x), with
+        ``|L + eps|^2 = |L|^2 + 2 eps sum(L) + D eps^2``.  Storing L
+        once and applying the scalings to the slim dot OUTPUTS lets the
+        encoder and vMF contractions share one stacked MXU pass over
+        one (B, D) operand (see :meth:`_loss`).  bf16 storage on TPU is
+        value-neutral at DEFAULT dot precision (see nb_fast); the row
+        norms are computed in f32 before the rounding."""
         xf32 = x.astype(jnp.float32)
         L = jnp.log1p(xf32)
-        # joint-model encoder normalization core (vmfnb.hh:601-611)
-        xn_core = l2_normalize(L, axis=1)
-        # vMF observation direction (vmfnb.hh:554-560); counts are
-        # non-negative so relu(x) == x, but keep the reference op order
-        eps_y = 1e-2 / float(self.model.data_dim)
-        yobs = l2_normalize(jnp.log1p(jax.nn.relu(xf32)) + eps_y, axis=1)
+        s = jnp.sum(L, axis=1)
+        ssq = jnp.sum(L * L, axis=1)
+        inv_nL = 1.0 / jnp.maximum(jnp.sqrt(ssq), 1e-12)
+        D = float(self.model.data_dim)
+        eps_y = 1e-2 / D
+        ny = jnp.sqrt(ssq + 2.0 * eps_y * s + D * eps_y * eps_y)
+        inv_nY = 1.0 / jnp.maximum(ny, 1e-12)
         if _use_bf16_data():
-            xn_core = xn_core.astype(jnp.bfloat16)
+            L = L.astype(jnp.bfloat16)
             xf32 = xf32.astype(jnp.bfloat16)
-            yobs = yobs.astype(jnp.bfloat16)
-        return xn_core, xf32, yobs
+        return L, xf32, inv_nL, inv_nY
 
-    def _heads(self, q, xn_core, xf):
+    def _heads(self, q, h_core, xf):
         """Shared mu encoder + the three raw-count heads; semantics ==
         VMFNBVAE.shared_encode_mu / nb_encode_nu / depth / kappa_head
-        (vmfnb.hh:449-460, 477-486, 498, 535-538) via hoisted algebra."""
+        (vmfnb.hh:449-460, 477-486, 498, 535-538) via hoisted algebra.
+        ``h_core`` is the standardized encoder contraction computed in
+        :meth:`_loss` (shared stacked dot)."""
         P, sv = q["P"], q["sv"]
         r = self.rows
         H = r.H
-        sd = _softplus(P[r.ln_x_sd]) + 1e-2                 # (D,)
-        Wt = P[r.mu_enc_w] / sd                             # (R, D)
-        h = _data_mm(xn_core, Wt) - P[r.x_mean] @ Wt.T      # (B, R)
-        h = h + self._sv(sv, "nb_mu_encoding.bias")
+        h = h_core + self._sv(sv, "nb_mu_encoding.bias")
         if self.model.do_relu:
             h = jax.nn.relu(h)  # encoder stack ReLUs its last layer
         mu_mean = (
@@ -326,15 +337,15 @@ class VMFNBFastStep(PackedFastStep):
         ))
         return mu_mean, mu_lnvar, nu_mean, nu_lnvar, depth, kappa
 
-    def _vmf_nll(self, q, yobs, z_vmf, kappa):
+    def _vmf_nll(self, q, t, z_vmf, kappa):
         """vMF negative log-likelihood without the (B, D)
-        reconstruction: <yobs, v/|v|> via one stacked MXU pass and the
-        (R+1, R+1) decoder Gram (vmfnb.hh:554-574; same values as
-        vmf_nllik_parts up to norm-reduction order)."""
+        reconstruction: ``t = yobs @ [W; b]^T`` comes precontracted
+        from the shared stacked dot in :meth:`_loss`; ``|v|`` comes
+        from the tiny (R+1, R+1) decoder Gram (vmfnb.hh:554-574; same
+        values as vmf_nllik_parts up to norm-reduction order)."""
         P = q["P"]
         r = self.rows
         vrows = P[r.vmf_rows]                               # (R+1, D)
-        t = _data_mm(yobs, vrows)                           # (B, R+1)
         dot = jnp.sum(t[:, :-1] * z_vmf, axis=1) + t[:, -1]
         # the Gram feeds |v| (a normalizer): keep true-f32 products —
         # the generic path computes |v| from f32 elementwise squares,
@@ -389,25 +400,40 @@ class VMFNBFastStep(PackedFastStep):
     def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
               boot: bool):
         del c  # the joint model has no covariate pathway
-        xn_core, xf, yobs = views
+        L, xf, inv_nL, inv_nY = views
         if ridx is not None:
             # row-wise transforms commute with row gathers: gathering
             # the precomputed views is bitwise-equal to recomputing
             # them on gathered counts, and the views carry no params
             # (no backward through the gather)
             x = jnp.take(x, ridx, axis=0)
-            xn_core = jnp.take(xn_core, ridx, axis=0)
+            L = jnp.take(L, ridx, axis=0)
             xf = jnp.take(xf, ridx, axis=0)
-            yobs = jnp.take(yobs, ridx, axis=0)
-        heads = self._heads(q, xn_core, xf)
+            inv_nL = jnp.take(inv_nL, ridx, axis=0)
+            inv_nY = jnp.take(inv_nY, ridx, axis=0)
+        P = q["P"]
+        r = self.rows
+        R = r.R
+        # ONE stacked MXU pass over L serves both the standardized mu
+        # encoder (xn_core = L * inv_nL) and the vMF observation dot
+        # (yobs = (L + eps) * inv_nY): contract L once against
+        # [mu_enc/sd ; vmf decoder rows] and apply the row scalings to
+        # the slim outputs — d<yobs, v>/dv_d = (L_d + eps) * inv_nY is
+        # reproduced exactly by the eps * rowsum(vrows) correction
+        sd = _softplus(P[r.ln_x_sd]) + 1e-2                 # (D,)
+        Wt = P[r.mu_enc_w] / sd                             # (R, D)
+        vrows = P[r.vmf_rows]                               # (R+1, D)
+        out = _data_mm(L, jnp.concatenate([Wt, vrows], axis=0))
+        h_core = out[:, :R] * inv_nL[:, None] - P[r.x_mean] @ Wt.T
+        eps_y = 1e-2 / float(self.model.data_dim)
+        t = (out[:, R:] + eps_y * jnp.sum(vrows, axis=1)) * inv_nY[:, None]
+        heads = self._heads(q, h_core, xf)
         mu_mean, mu_lnvar, nu_mean, nu_lnvar, depth, kappa = heads
         z_nb = self._reparam(eps[0], mu_mean, mu_lnvar)
         z_nu = self._reparam(eps[1], nu_mean, nu_lnvar)
         z_vmf = self._reparam(eps[2], mu_mean, mu_lnvar)
         kl = gaussian_kl(mu_mean, mu_lnvar) + gaussian_kl(nu_mean, nu_lnvar)
 
-        P = q["P"]
-        r = self.rows
         wd = P[r.mu_dec_w]
         bias2 = P[r.mu_dec_b]
         wn = P[r.nu_dec_w]
@@ -425,7 +451,7 @@ class VMFNBFastStep(PackedFastStep):
                 x, z_nb, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n,
                 include_const=include_const, pb=pb, nu_exp=True,
             )
-        vmf = self._vmf_nll(q, yobs, z_vmf, kappa)
+        vmf = self._vmf_nll(q, t, z_vmf, kappa)
         return (nll + vmf + beta * kl) / B
 
 
@@ -645,26 +671,42 @@ class VMFNBMixtureFastStep(PackedFastStep):
 
     # ------------------------------------------------------------------
     def _views(self, x):
-        """(xn_core, xf, xn_vmf, ybf): parameter-independent hoists.
-        ``xn_vmf`` is the E-step input (vmfnb_mixture.hh:673-678);
-        ``ybf`` is the loss observation direction pre-masked by the
-        annotation filter (the recon the generic path materializes is
-        filter-masked, so contracting the mask into yobs is exact)."""
+        """(L, xf, inv_nL, inv_nV, inv_nY): the log1p counts plus
+        per-row normalizer reciprocals — all parameter-independent.
+
+        Every (B, D) direction the mixture consumes is a row-scaling of
+        the SAME array L, because the masked component directions
+        ``vmu`` are zero outside the annotation filter (``vmu * filt ==
+        vmu``): the encoder's ``xn_core = L / |L|``, the E-step input
+        ``xn_vmf = (L + eps) filt / |(L + eps) filt|``
+        (vmfnb_mixture.hh:673-678), and the masked loss observation
+        ``ybf = filt (L + eps') / |L + eps'|``.  Contracting L once and
+        applying the scalings (plus ``eps * rowsum(vmu)`` corrections)
+        to the slim outputs collapses the three (B, D) views and two of
+        the three (B, D) contractions (see :meth:`_loss`).  Row norms
+        are computed in f32 before the bf16 rounding:
+        ``|(L+eps)filt|^2 = sum(filt L^2) + 2 eps sum(filt L) + eps^2 dd``
+        and ``|L+eps'|^2 = |L|^2 + 2 eps' sum(L) + D eps'^2``."""
         xf32 = x.astype(jnp.float32)
         L = jnp.log1p(xf32)
-        xn_core = l2_normalize(L, axis=1)
+        s = jnp.sum(L, axis=1)
+        ssq = jnp.sum(L * L, axis=1)
+        Lf = L * self._filt
+        s_f = jnp.sum(Lf, axis=1)
+        ssq_f = jnp.sum(Lf * L, axis=1)
         D = float(self.model.data_dim)
+        dd = float(self.model.dd)
         eps = 1e-2 / D
-        xn_vmf = l2_normalize((L + eps) * self._filt, axis=1)
-        yobs = l2_normalize(jnp.log1p(jax.nn.relu(xf32)) + 1e-2 /
-                            float(self.model.dd), axis=1)
-        ybf = yobs * self._filt
+        eps_y = 1e-2 / dd
+        inv_nL = 1.0 / jnp.maximum(jnp.sqrt(ssq), 1e-12)
+        nv = jnp.sqrt(ssq_f + 2.0 * eps * s_f + eps * eps * dd)
+        inv_nV = 1.0 / jnp.maximum(nv, 1e-12)
+        ny = jnp.sqrt(ssq + 2.0 * eps_y * s + D * eps_y * eps_y)
+        inv_nY = 1.0 / jnp.maximum(ny, 1e-12)
         if _use_bf16_data():
-            xn_core = xn_core.astype(jnp.bfloat16)
+            L = L.astype(jnp.bfloat16)
             xf32 = xf32.astype(jnp.bfloat16)
-            xn_vmf = xn_vmf.astype(jnp.bfloat16)
-            ybf = ybf.astype(jnp.bfloat16)
-        return xn_core, xf32, xn_vmf, ybf
+        return L, xf32, inv_nL, inv_nV, inv_nY
 
     def _draw_batch(self, key, B: int):
         """split(key, 3) -> (gumbel, mu, nu); the Gumbel key is unused
@@ -693,30 +735,17 @@ class VMFNBMixtureFastStep(PackedFastStep):
         return dict(rep_eps=rep_eps, ridx=ridx, boot_eps=(b_mu, b_nu))
 
     # ------------------------------------------------------------------
-    def _estep(self, q, xn_vmf, kappa):
-        """Normalized masked directions + responsibilities
-        (vmfnb_mixture.hh:538-560, 680-691), on packed rows."""
-        P = q["P"]
-        r = self.rows
-        eps = 1e-2 / float(self.model.data_dim)
-        # rows are ln_vmf_mu^T: normalize each component over features
-        vmu = l2_normalize(
-            (jnp.exp(P[r.vmf_mu_rows]) + eps) * self._label, axis=1
-        )                                                   # (K, D)
-        logits = jax.nn.log_softmax(_data_mm(xn_vmf, vmu) * kappa,
-                                    axis=1)
-        return vmu, logits, jnp.exp(logits)
-
     def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
               boot: bool):
         del c  # no covariate pathway
-        xn_core, xf, xn_vmf, ybf = views
+        L, xf, inv_nL, inv_nV, inv_nY = views
         if ridx is not None:
             x = jnp.take(x, ridx, axis=0)
-            xn_core = jnp.take(xn_core, ridx, axis=0)
+            L = jnp.take(L, ridx, axis=0)
             xf = jnp.take(xf, ridx, axis=0)
-            xn_vmf = jnp.take(xn_vmf, ridx, axis=0)
-            ybf = jnp.take(ybf, ridx, axis=0)
+            inv_nL = jnp.take(inv_nL, ridx, axis=0)
+            inv_nV = jnp.take(inv_nV, ridx, axis=0)
+            inv_nY = jnp.take(inv_nY, ridx, axis=0)
         P = q["P"]
         r = self.rows
         # ONE raw-count MXU pass serves nu encoder, depth AND kappa;
@@ -732,11 +761,31 @@ class VMFNBMixtureFastStep(PackedFastStep):
             fasterlog(self.model.kappa_min),
             fasterlog(self.model.kappa_max),
         ))
-        vmu, logits, latent = self._estep(q, xn_vmf, kappa)
 
+        # normalized masked component directions
+        # (vmfnb_mixture.hh:538-560): rows are ln_vmf_mu^T, each
+        # component's direction normalized over features; zero outside
+        # its label mask, hence zero outside the filter
+        eps_mu = 1e-2 / float(self.model.data_dim)
+        vmu = l2_normalize(
+            (jnp.exp(P[r.vmf_mu_rows]) + eps_mu) * self._label, axis=1
+        )                                                   # (K, D)
+        fsum = jnp.sum(vmu, axis=1)                         # (K,)
         sd = _softplus(P[r.ln_x_sd]) + 1e-2
         Wt = P[r.mu_enc_w] / sd
-        h = _data_mm(xn_core, Wt) - P[r.x_mean] @ Wt.T
+        # ONE stacked pass over L serves the standardized mu encoder,
+        # the E-step contraction AND the loss contraction: both vMF
+        # dots are row-scalings of the same core product L @ vmu^T
+        # (vmu * filt == vmu), with eps * rowsum(vmu) corrections —
+        # see _views for the exact identities
+        out = _data_mm(L, jnp.concatenate([Wt, vmu], axis=0))
+        R = r.R
+        core = out[:, R:]                                   # (B, K)
+        t_estep = (core + eps_mu * fsum) * inv_nV[:, None]
+        logits = jax.nn.log_softmax(t_estep * kappa, axis=1)
+        latent = jnp.exp(logits)
+
+        h = out[:, :R] * inv_nL[:, None] - P[r.x_mean] @ Wt.T
         h = h + self._sv(sv, "nb_mu_encoding.bias")
         if self.model.do_relu:
             h = jax.nn.relu(h)
@@ -787,8 +836,11 @@ class VMFNBMixtureFastStep(PackedFastStep):
 
         # vMF loss without the (B, D) recon: recon = (latent @ mu^T) *
         # filt and the loss needs only <yobs, recon> =
-        # sum(latent * (ybf @ mu^T), 1)  (vmfnb_mixture.hh:610-629)
-        t = _data_mm(ybf, vmu)                               # (B, K)
+        # sum(latent * (ybf @ mu^T), 1)  (vmfnb_mixture.hh:610-629);
+        # ybf @ mu^T reuses the shared core product with the yobs
+        # row-scaling (see _views)
+        eps_y = 1e-2 / float(self.model.dd)
+        t = (core + eps_y * fsum) * inv_nY[:, None]          # (B, K)
         dot = jnp.sum(latent * t, axis=1)
         dd = float(self.model.dd)
         df = max(0.5 * dd - 1.0, 0.0)
