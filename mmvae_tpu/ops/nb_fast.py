@@ -238,6 +238,28 @@ class PackedFastStep:
 
         return jax.vmap(one)(batch_ids)
 
+    def rand_pspecs(self, P, axis_name="data"):
+        """PartitionSpec tree for :meth:`draw_rand`'s output with the
+        per-batch ROW axis sharded over ``axis_name`` (each DP shard
+        draws its own rows via the axis_index fold).  Built from the
+        subclass's actual ``_draw_batch`` structure: rep_eps leaves are
+        (B, ...) -> row axis 1 after the epoch vmap; ridx/boot_eps
+        leaves are (nboot, B, ...) -> row axis 2."""
+        sample = jax.eval_shape(
+            lambda k: self._draw_batch(k, 2), jax.random.PRNGKey(0)
+        )
+        return dict(
+            rep_eps=tuple(
+                P(None, axis_name, *([None] * (l.ndim - 1)))
+                for l in sample["rep_eps"]
+            ),
+            ridx=P(None, None, axis_name),
+            boot_eps=tuple(
+                P(None, None, axis_name, *([None] * (l.ndim - 2)))
+                for l in sample["boot_eps"]
+            ),
+        )
+
     def batch_step(self, q, opt_state, x, c, epoch_f, key=None,
                    axis_name=None, rand=None):
         """One reference batch step on packed state: reporting forward +

@@ -628,12 +628,10 @@ class Trainer:
         # per-device values (axis_index fold) are bitwise unchanged
         rand_specs = None
         if fast is not None:
-            rand_specs = dict(
-                rep_eps=(P(None, "data", None), P(None, "data", None)),
-                ridx=P(None, None, "data"),
-                boot_eps=(P(None, None, "data", None),
-                          P(None, None, "data", None)),
-            )
+            # derived from the fast step's own _draw_batch structure —
+            # a hardcoded NB-shaped dict here crashed the vMF (1-tuple
+            # boot_eps) and joint (3-tuple) fast steps under --dp_shard
+            rand_specs = fast.rand_pspecs(P, "data")
 
             def draw_fn(base_key, epoch_f):
                 ekey = jax.random.fold_in(

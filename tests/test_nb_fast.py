@@ -143,3 +143,51 @@ def test_batch_step_key_vs_predrawn_rand_bitwise():
                       jax.tree_util.tree_leaves((q_b, po_b))):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_rand_pspecs_match_draw_structure_all_models():
+    """rand_pspecs must mirror each fast step's actual draw_rand pytree
+    (the DP on-device runner's shard_map out_specs) — a hardcoded
+    NB-shaped spec dict crashed the vMF (1-tuple boot_eps) and joint
+    (3-tuple) fast steps under --dp_shard on-device epochs."""
+    from jax.sharding import PartitionSpec as P
+
+    from mmvae_tpu.models.vmf import VMFVAE
+    from mmvae_tpu.models.vmfnb import VMFNBVAE
+    from mmvae_tpu.models.vmfnb_mixture import VMFNBMixtureVAE
+    from mmvae_tpu.ops.vmf_fast import VMFFastStep
+    from mmvae_tpu.ops.vmfnb_fast import (
+        VMFNBFastStep,
+        VMFNBMixtureFastStep,
+    )
+
+    D = 640
+    topt = TrainingOptions(nboot=3, superbatch=2, seed=0)
+    label = (np.random.default_rng(0).uniform(size=(D, 4)) < 0.4
+             ).astype(np.float32)
+    steps = [
+        NBFastStep(NBVAE(data_dim=D, covar_dim=1), topt),
+        VMFFastStep(VMFVAE(data_dim=D, covar_dim=1), topt),
+        VMFNBFastStep(VMFNBVAE(data_dim=D), topt),
+        VMFNBMixtureFastStep(VMFNBMixtureVAE(label=label), topt),
+    ]
+    is_spec = lambda v: isinstance(v, P)
+    for fast in steps:
+        rand = jax.eval_shape(
+            lambda k: fast.draw_rand(k, jnp.arange(4), 8),
+            jax.random.PRNGKey(0),
+        )
+        specs = fast.rand_pspecs(P, "data")
+        assert (jax.tree_util.tree_structure(
+                    specs, is_leaf=is_spec)
+                == jax.tree_util.tree_structure(
+                    jax.tree_util.tree_map(lambda _: P(), rand),
+                    is_leaf=is_spec)), type(fast).__name__
+        flat_r = jax.tree_util.tree_leaves(rand)
+        flat_s = jax.tree_util.tree_leaves(specs, is_leaf=is_spec)
+        for leaf, spec in zip(flat_r, flat_s):
+            assert len(spec) <= leaf.ndim, (type(fast).__name__, spec)
+            # the sharded axis must be the per-batch ROW axis (size 8)
+            ax = spec.index("data")
+            assert leaf.shape[ax] == 8, (type(fast).__name__, spec,
+                                         leaf.shape)

@@ -346,3 +346,46 @@ def test_ondevice_vmf_fast_step_with_recording(setup, tmp_path):
     a = np.loadtxt(gzip.open(tmp_path / "fast_1.latent_mean.gz"))
     b = np.loadtxt(gzip.open(tmp_path / "gen_1.latent_mean.gz"))
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_ondevice_dp_fast_step_vmf(mtx_file, tmp_path):
+    """vMF fast step x DP x on-device epochs: the shard_map rand specs
+    must follow the fast step's own draw structure (regression: an
+    NB-shaped hardcoded spec dict crashed this path), and the
+    trajectory must match the dp_shard host loop."""
+    from mmvae_tpu.models.vmf import VMFVAE
+    from mmvae_tpu.ops.losses import vmf_loss
+    from mmvae_tpu.ops.vmf_fast import VMFFastStep
+    from mmvae_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    path, idx, dens = mtx_file
+    B = 24  # ntot=120 % 24 == 0 (wrap-free), 24 % 8 == 0
+    data = MtxMemoryBlock(path, idx, B)
+    cov_path = str(tmp_path / "cov.mtx.gz")
+    create_ones_like(data, cov_path)
+    cov_idx = build_mmutil_index(cov_path)
+    covar = MtxMemoryBlock(cov_path, cov_idx, B)
+    covar.auto_ones = True
+    model = VMFVAE(data_dim=dens.shape[0], covar_dim=1)
+
+    def run(ondevice):
+        topt = TrainingOptions(nboot=2, max_epoch=3, recording=100,
+                               superbatch=2, seed=0, auto_ondevice=False)
+        params = model.init(jax.random.PRNGKey(0))
+        return train_vae_model(
+            lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+            None, data, covar, topt,
+            lambda x, out, beta: vmf_loss(x, out, beta),
+            params, mesh=make_mesh(), dp_shard_map=True,
+            ondevice=ondevice, fast_step=VMFFastStep(model, topt),
+        )
+
+    p_host, l_host = run(False)
+    p_dev, l_dev = run(True)
+    np.testing.assert_allclose(l_host, l_dev, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_host),
+                    jax.tree_util.tree_leaves(p_dev)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
