@@ -37,6 +37,7 @@ and direct R->D decoder, nb.hh:364-379); callers must check
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import jax
@@ -204,6 +205,25 @@ class PackedFastStep:
     # adam-state conversion: the chain is (clip, wd, adam, lr); only the
     # ScaleByAdamState's mu/nu trees are params-shaped
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # small-vector segment table: shared by every subclass's
+    # _build_sv_layout / _sv / unpack
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _seg_layout(entries):
+        """``name -> (offset, shape)`` segment table + total length for
+        the packed small-vector leaf."""
+        segs, off = {}, 0
+        for name, shape in entries:
+            segs[name] = (off, shape)
+            off += math.prod(shape)
+        return segs, off
+
+    def _sv(self, sv, name):
+        """View one named segment of the packed small vector."""
+        off, shape = self._sv_segs[name]
+        return jnp.reshape(sv[off:off + math.prod(shape)], shape)
+
     def pack_opt_state(self, opt_state):
         adam = opt_state[2]
         packed = adam._replace(mu=self.pack(adam.mu), nu=self.pack(adam.nu))
@@ -360,9 +380,7 @@ class NBFastStep(PackedFastStep):
     # ------------------------------------------------------------------
     def _build_sv_layout(self):
         R, C, H, Rn = (self.rows.R, self.rows.C, self.rows.H, self.rows.Rn)
-        segs = {}
-        off = 0
-        for name, shape in [
+        return self._seg_layout([
             ("mu_encoding.bias", (R,)),
             ("covar_encoding.weight", (C, R)),
             ("covar_encoding.bias", (R,)),
@@ -376,13 +394,7 @@ class NBFastStep(PackedFastStep):
             ("nu_representation_logvariance.weight", (H, Rn)),
             ("nu_representation_logvariance.bias", (Rn,)),
             ("depth.bias", (1,)),
-        ]:
-            n = 1
-            for s in shape:
-                n *= s
-            segs[name] = (off, shape)
-            off += n
-        return segs, off
+        ])
 
     # ------------------------------------------------------------------
     # pack / unpack (work on params AND on Adam-moment trees, which share
@@ -440,11 +452,8 @@ class NBFastStep(PackedFastStep):
         }
         for name, (off, shape) in self._sv_segs.items():
             top, leaf = name.split(".")
-            n = 1
-            for s in shape:
-                n *= s
             out.setdefault(top, {})[leaf] = jnp.reshape(
-                sv[off:off + n], shape
+                sv[off:off + math.prod(shape)], shape
             )
         return out
 
@@ -454,12 +463,6 @@ class NBFastStep(PackedFastStep):
     @staticmethod
     def _views(x):
         return _encoder_views(x)
-    def _sv(self, sv, name):
-        off, shape = self._sv_segs[name]
-        n = 1
-        for s in shape:
-            n *= s
-        return jnp.reshape(sv[off:off + n], shape)
 
     def _heads(self, q, L, xf, c):
         """Encoder heads for ALL B rows of the batch (pre-gather).

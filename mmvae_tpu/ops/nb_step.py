@@ -148,7 +148,7 @@ def xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb=None,
 # shared in-kernel pieces
 # ----------------------------------------------------------------------
 
-_HI = jax.lax.Precision.DEFAULT
+_MM_PREC = jax.lax.Precision.DEFAULT
 
 
 def _mm(a, b, ca: int, cb: int):
@@ -161,7 +161,7 @@ def _mm(a, b, ca: int, cb: int):
     the documented 101-epoch ELBO band (BASELINE_MEASURED.md)."""
     return jax.lax.dot_general(
         a, b, (((ca,), (cb,)), ((), ())),
-        precision=_HI, preferred_element_type=jnp.float32,
+        precision=_MM_PREC, preferred_element_type=jnp.float32,
     )
 
 

@@ -125,9 +125,7 @@ class VMFFastStep(PackedFastStep):
     # ------------------------------------------------------------------
     def _build_sv_layout(self):
         Z, C = self.rows.Z, self.rows.C
-        segs = {}
-        off = 0
-        for name, shape in [
+        return self._seg_layout([
             ("covar_encoding.weight", (C, Z)),
             ("covar_encoding.bias", (Z,)),
             ("representation_mean.weight", (Z, Z)),
@@ -135,13 +133,7 @@ class VMFFastStep(PackedFastStep):
             ("representation_logvariance.weight", (Z, Z)),
             ("representation_logvariance.bias", (Z,)),
             ("ln_kappa", (1,)),
-        ]:
-            n = 1
-            for s in shape:
-                n *= s
-            segs[name] = (off, shape)
-            off += n
-        return segs, off
+        ])
 
     def pack(self, t: dict) -> dict:
         r = self.rows
@@ -183,23 +175,13 @@ class VMFFastStep(PackedFastStep):
             "encoding": {"weight": P[r.enc_w].T},
         }
         for name, (off, shape) in self._sv_segs.items():
-            n = 1
-            for s in shape:
-                n *= s
-            leaf_val = jnp.reshape(sv[off:off + n], shape)
+            leaf_val = jnp.reshape(sv[off:off + math.prod(shape)], shape)
             if "." in name:
                 top, leaf = name.split(".")
                 out.setdefault(top, {})[leaf] = leaf_val
             else:
                 out[name] = leaf_val
         return out
-
-    def _sv(self, sv, name):
-        off, shape = self._sv_segs[name]
-        n = 1
-        for s in shape:
-            n *= s
-        return jnp.reshape(sv[off:off + n], shape)
 
     # ------------------------------------------------------------------
     # compute

@@ -168,9 +168,7 @@ class VMFNBFastStep(PackedFastStep):
     # ------------------------------------------------------------------
     def _build_sv_layout(self):
         R, H, Rn = self.rows.R, self.rows.H, self.rows.Rn
-        segs = {}
-        off = 0
-        for name, shape in [
+        return self._seg_layout([
             ("nb_mu_encoding.bias", (R,)),
             ("nb_mu_representation_mean.weight", (R, R)),
             ("nb_mu_representation_mean.bias", (R,)),
@@ -183,13 +181,7 @@ class VMFNBFastStep(PackedFastStep):
             ("nb_nu_representation_logvariance.bias", (Rn,)),
             ("depth.bias", (1,)),
             ("ln_kappa.bias", (1,)),
-        ]:
-            n = 1
-            for s in shape:
-                n *= s
-            segs[name] = (off, shape)
-            off += n
-        return segs, off
+        ])
 
     def pack(self, t: dict) -> dict:
         r = self.rows
@@ -245,24 +237,14 @@ class VMFNBFastStep(PackedFastStep):
         }
         for name, (off, shape) in self._sv_segs.items():
             top, leaf = name.split(".")
-            n = 1
-            for s in shape:
-                n *= s
             out.setdefault(top, {})[leaf] = jnp.reshape(
-                sv[off:off + n], shape
+                sv[off:off + math.prod(shape)], shape
             )
         return out
 
     # ------------------------------------------------------------------
     # compute
     # ------------------------------------------------------------------
-    def _sv(self, sv, name):
-        off, shape = self._sv_segs[name]
-        n = 1
-        for s in shape:
-            n *= s
-        return jnp.reshape(sv[off:off + n], shape)
-
     def _views(self, x):
         """(L, xf, inv_nL, inv_nY): the log1p counts plus per-row
         normalizer reciprocals — all parameter-independent, so one
@@ -581,9 +563,7 @@ class VMFNBMixtureFastStep(PackedFastStep):
     def _build_sv_layout(self):
         R, H, Rn, K = (self.rows.R, self.rows.H, self.rows.Rn,
                        self.rows.K)
-        segs = {}
-        off = 0
-        for name, shape in [
+        return self._seg_layout([
             ("nb_mu_encoding.bias", (R,)),
             ("nb_mu_representation_mean_k.weight", (K, R, R)),
             ("nb_mu_representation_mean_k.bias", (K, R)),
@@ -596,13 +576,7 @@ class VMFNBMixtureFastStep(PackedFastStep):
             ("nb_nu_representation_logvariance.bias", (Rn,)),
             ("depth.bias", (1,)),
             ("ln_kappa.bias", (1,)),
-        ]:
-            n = 1
-            for s in shape:
-                n *= s
-            segs[name] = (off, shape)
-            off += n
-        return segs, off
+        ])
 
     def pack(self, t: dict) -> dict:
         r = self.rows
@@ -654,20 +628,10 @@ class VMFNBMixtureFastStep(PackedFastStep):
         }
         for name, (off, shape) in self._sv_segs.items():
             top, leaf = name.split(".")
-            n = 1
-            for s in shape:
-                n *= s
             out.setdefault(top, {})[leaf] = jnp.reshape(
-                sv[off:off + n], shape
+                sv[off:off + math.prod(shape)], shape
             )
         return out
-
-    def _sv(self, sv, name):
-        off, shape = self._sv_segs[name]
-        n = 1
-        for s in shape:
-            n *= s
-        return jnp.reshape(sv[off:off + n], shape)
 
     # ------------------------------------------------------------------
     def _views(self, x):

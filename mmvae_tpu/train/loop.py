@@ -194,6 +194,7 @@ class Trainer:
         else:
             self._step = jax.jit(sb_step, donate_argnums=(0, 1))
         self._step_rec = None  # recording variant, built on first use
+        self._step_rec_key = None  # (encode_fn, extra_fn) identity pair
         self._base_key = jax.random.PRNGKey(opt.seed)
 
     def _tp_specs(self, params, opt_state):
@@ -817,7 +818,14 @@ class Trainer:
         order preserved: the posterior is taken right after each
         batch's boot updates, mmvae_alg.hh:315-317)."""
         assert self.can_step_record()
+        # the compiled step closes over (encode_fn, extra_fn): cache per
+        # identity pair so a caller switching recorders gets a rebuild,
+        # not the first call's functions silently reused
+        rec_key = (id(encode_fn), id(extra_fn))
+        if self._step_rec is not None and self._step_rec_key != rec_key:
+            self._step_rec = None
         if self._step_rec is None:
+            self._step_rec_key = rec_key
             import functools
 
             sb_step = (self._superbatch_step_fast if self.fast is not None
