@@ -132,6 +132,84 @@ def test_two_process_cli_end_to_end(mtx_file, tmp_path):
     )
 
 
+def test_two_process_tp_matches_single(mtx_file, tmp_path):
+    """Multi-host x TP: two processes with 4 CPU devices each form the
+    global ('data'=4, 'model'=2) mesh — the data axis spans hosts, each
+    model-shard pair stays intra-host (the ICI-friendly layout).  The
+    run must match a single-process 8-device --tensor_parallel 2 run:
+    scores bitwise, artifacts to float precision."""
+    import gzip
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    path, idx, dens = mtx_file
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def env_for(ndev):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + f" --xla_force_host_platform_device_count={ndev}")
+        return env
+
+    def cli(out, ndev, extra):
+        # B_global=24: ntot=120 wrap-free; D=40 divides model=2
+        return subprocess.Popen(
+            [sys.executable, "-m", "mmvae_tpu.cli.nb_vae",
+             "--mtx", path, "--out", out, "--max_epoch", "2",
+             "--recording", "2", "--batch_size", "24",
+             "--superbatch", "2", "--tensor_parallel", "2",
+             "--no_auto_ondevice"] + extra,
+            env=env_for(ndev),
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+
+    mh_out = str(tmp_path / "mh")
+    procs = [
+        cli(mh_out, 4,
+            ["--coordinator", f"localhost:{port}", "--num_hosts", "2",
+             "--host_id", str(h)])
+        for h in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        assert p.returncode == 0, out.decode()[-2000:]
+
+    sh_out = str(tmp_path / "sh")
+    p = cli(sh_out, 8, [])
+    out, _ = p.communicate(timeout=560)
+    assert p.returncode == 0, out.decode()[-2000:]
+
+    def scores(h):
+        return [float(v) for v in gzip.open(h + ".scores.gz", "rt")]
+
+    assert scores(mh_out) == scores(sh_out)
+
+    def mat(f):
+        return np.array(
+            [ln.split() for ln in gzip.open(f, "rt").readlines()], float
+        )
+
+    # the cross-host 'data' psum may reduce in a different order than
+    # the single-process one (ulp-level); artifacts equal to float
+    # precision, scores (6 digits) bitwise above
+    np.testing.assert_allclose(
+        mat(mh_out + "_1_mu_decoding.weight.gz"),
+        mat(sh_out + "_1_mu_decoding.weight.gz"),
+        rtol=1e-4, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        mat(mh_out + "_1.mu_mean.gz"), mat(sh_out + "_1.mu_mean.gz"),
+        rtol=1e-4, atol=2e-6,
+    )
+
+
 def test_two_process_dp_ondevice_matches_single(mtx_file, tmp_path):
     """Multi-host x DP x on-device epochs: two processes each hold
     their device-major dense shard; trajectories match a single-process
