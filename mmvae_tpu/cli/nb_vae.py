@@ -129,7 +129,11 @@ def main(argv=None) -> int:
             )
         mesh = make_mesh(model_parallel=tp)
         tp_kw = dict(tp_shard_map=True, data_dim=D,
-                     tp_param_pspecs=model.tp_pspecs(params))
+                     tp_param_pspecs=model.tp_pspecs(params),
+                     # TP recording at training cost: encode_mu over
+                     # model-axis shards (psum'd D->H first layer)
+                     tp_record_encode=lambda p, x: model.tp_encode_mu(
+                         p, x, None, "model"))
     elif topt.data_parallel or topt.dp_shard or host_kw:
         from ..parallel.mesh import make_mesh
 

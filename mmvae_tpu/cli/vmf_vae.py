@@ -114,7 +114,12 @@ def main(argv=None) -> int:
             )
         mesh = make_mesh(model_parallel=tp)
         tp_kw = dict(tp_shard_map=True, data_dim=D,
-                     tp_param_pspecs=model.tp_pspecs(params))
+                     tp_param_pspecs=model.tp_pspecs(params),
+                     # TP recording at training cost: the recorder's
+                     # encode over model-axis shards (psum'd Angular
+                     # first layer)
+                     tp_record_encode=lambda p, x: model.tp_encode(
+                         p, x, None, "model"))
         # the vMF model is all-XLA: TP is sharded linear algebra with
         # psum'd norms (models/vmf.py tp_step_loss), one loss for both
         # the report and the boot pass

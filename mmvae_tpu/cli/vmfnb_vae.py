@@ -124,6 +124,19 @@ def main(argv=None) -> int:
             encode_fn=encode_fn, extra_fn=extra_fn, extra_name="clust",
             async_writes=True, combined_fn=combined_fn,
         )
+
+        # TP recording at training cost: the same frozen E-step over
+        # model-axis shards (psum'd mixture logits)
+        def tp_encode_rec(p, x):
+            vmf = model.tp_vmf_forward(p, x, _record_key, False, "model")
+            return model.tp_nb_encode_mu(p, x, vmf.latent, "model")
+
+        def tp_extra_rec(p, x):
+            vmf = model.tp_vmf_forward(p, x, _record_key, False, "model")
+            return vmf.latent
+
+        tp_rec_kw = dict(tp_record_encode=tp_encode_rec,
+                         tp_record_extra=tp_extra_rec)
     else:
         model = VMFNBVAE(
             data_dim=D,
@@ -148,6 +161,11 @@ def main(argv=None) -> int:
             opts.out, topt.max_epoch, data_block.ntot(),
             encode_fn=lambda p, x: model.shared_encode_mu(p, x),
             async_writes=True,
+        )
+        tp_rec_kw = dict(
+            tp_record_encode=lambda p, x: model.tp_shared_encode_mu(
+                p, x, "model"
+            ),
         )
 
     params = model.init(jax.random.PRNGKey(topt.seed))
@@ -189,7 +207,8 @@ def main(argv=None) -> int:
             )
         mesh = make_mesh(model_parallel=tp)
         tp_kw = dict(tp_shard_map=True, data_dim=D,
-                     tp_param_pspecs=model.tp_pspecs(params))
+                     tp_param_pspecs=model.tp_pspecs(params),
+                     **tp_rec_kw)
     elif topt.data_parallel or topt.dp_shard or host_kw:
         from ..parallel.mesh import make_mesh
 

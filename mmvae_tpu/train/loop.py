@@ -120,6 +120,8 @@ class Trainer:
         tp_shard_map: bool = False,
         data_dim: int | None = None,
         tp_param_pspecs=None,
+        tp_record_encode: Callable | None = None,
+        tp_record_extra: Callable | None = None,
         fast_step=None,
     ):
         self.forward = forward
@@ -153,6 +155,11 @@ class Trainer:
         # when given, they replace the size-match heuristic for both the
         # param and optimizer-state spec trees (fixes hidden widths == D)
         self._tp_param_pspecs = tp_param_pspecs
+        # TP-aware recording functions ((shard params, shard x) -> out,
+        # model_axis pre-bound): without them TP recording falls back to
+        # the per-batch host loop (see can_step_record)
+        self._tp_record_encode = tp_record_encode
+        self._tp_record_extra = tp_record_extra
         self._tp_clip = None
         # TP strips the local clip from the chain and applies a
         # cross-shard global-norm clip in boot_body instead (same torch
@@ -697,7 +704,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def make_ondevice_epoch_tp(self, data_dense_perm, ntot: int, B: int,
-                               params, opt_state, covar_dim: int = 1):
+                               params, opt_state, covar_dim: int = 1,
+                               needs_extra: bool = False):
         """Whole-epoch runner for device-resident data under KERNEL-AWARE
         TENSOR PARALLELISM (+ data parallelism): the dense array is
         sharded over ('data', 'model') — rows in the DP (device, batch,
@@ -711,9 +719,10 @@ class Trainer:
         TP path.
 
         Restricted to the all-ones covariate, a wrap-free schedule, and
-        single-host runs; recording falls back to the host loop (the TP
-        record outputs are feature-sharded structures, matching
-        :meth:`can_step_record`)."""
+        single-host runs.  Recording uses the model's TP-aware record
+        functions (``tp_record_encode`` / ``tp_record_extra``) as scan
+        outputs, exactly like the DP runner; without them recording
+        falls back to the host loop (matching :meth:`can_step_record`)."""
         import functools
 
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -723,10 +732,12 @@ class Trainer:
         assert ntot % B == 0 and B % ndata == 0
         nbatch = ntot // B
         Bl = B // ndata
+        record_fns = (self._tp_record_encode,
+                      self._tp_record_extra if needs_extra else None)
 
         p_specs, o_specs = self._tp_specs(params, opt_state)
 
-        def epoch_fn(params, opt_state, epoch_f, base_key, data):
+        def epoch_fn(record, params, opt_state, epoch_f, base_key, data):
             ekey = jax.random.fold_in(base_key,
                                       jnp.asarray(epoch_f, jnp.int32))
 
@@ -740,7 +751,10 @@ class Trainer:
                 st, opt_st, rep = self._batch_step(
                     st, opt_st, x, c, epoch_f, key, axis_name="data"
                 )
-                return (st, opt_st), rep
+                out = rep
+                if record:
+                    out = (rep,) + _record_outputs(record_fns, st, x)
+                return (st, opt_st), out
 
             (st, opt_st), reps = jax.lax.scan(
                 scan_body, (params, opt_state),
@@ -748,23 +762,37 @@ class Trainer:
             )
             return st, opt_st, reps
 
-        step = jax.shard_map(
-            epoch_fn,
-            mesh=self.mesh,
-            in_specs=(p_specs, o_specs, P(), P(), P("data", "model")),
-            out_specs=(p_specs, o_specs, P()),
-            check_vma=False,
+        def build(record: bool):
+            if record:
+                extra_spec = (P(None, "data", None)
+                              if record_fns[1] is not None else P())
+                outs_spec = (P(), (P(None, "data", None),
+                                   P(None, "data", None)), extra_spec)
+            else:
+                outs_spec = P()
+            step = jax.shard_map(
+                functools.partial(epoch_fn, record),
+                mesh=self.mesh,
+                in_specs=(p_specs, o_specs, P(), P(), P("data", "model")),
+                out_specs=(p_specs, o_specs, outs_spec),
+                check_vma=False,
+            )
+            return jax.jit(step, donate_argnums=(0, 1))
+
+        can_record = record_fns[0] is not None and (
+            not needs_extra or record_fns[1] is not None
         )
-        jitted = jax.jit(step, donate_argnums=(0, 1))
+        jitted = build(False)
+        jitted_rec = build(True) if can_record else None
         sharding = NamedSharding(self.mesh, P("data", "model"))
         data_sharded = jax.device_put(data_dense_perm, sharding)
 
         def run(params, opt_state, epoch: int, record: bool = False):
-            assert not record
-            return jitted(params, opt_state, jnp.float32(epoch),
-                          self._base_key, data_sharded)
+            fn = jitted_rec if (record and jitted_rec is not None) else jitted
+            return fn(params, opt_state, jnp.float32(epoch),
+                      self._base_key, data_sharded)
 
-        run.can_record = False
+        run.can_record = can_record
         return run
 
     # ------------------------------------------------------------------
@@ -799,15 +827,21 @@ class Trainer:
             self._base_key,
         )
 
-    def can_step_record(self) -> bool:
-        """Whether the recording superbatch step is available.  Only the
-        TP path keeps the per-batch recorder (its record outputs are
-        feature-sharded structures).  Multi-host callers fetch their
-        local rows via ``parallel.multihost.local_rows``.  NOTE: the
-        in-scan encode may reassociate vs a differently-partitioned run
-        at ~1e-6 — training trajectories stay bitwise-equal across
-        layouts, posterior artifacts are equal to float precision."""
-        return not self.tp_shard_map
+    def can_step_record(self, needs_extra: bool = False) -> bool:
+        """Whether the recording superbatch step is available.  TP needs
+        the model's TP-aware record functions (``tp_record_encode`` /
+        ``tp_record_extra``, psum'd over the model axis) — without them
+        TP recording keeps the per-batch host loop.  Multi-host callers
+        fetch their local rows via ``parallel.multihost.local_rows``.
+        NOTE: the in-scan encode may reassociate vs a
+        differently-partitioned run at ~1e-6 — training trajectories
+        stay bitwise-equal across layouts, posterior artifacts are equal
+        to float precision."""
+        if not self.tp_shard_map:
+            return True
+        return self._tp_record_encode is not None and (
+            not needs_extra or self._tp_record_extra is not None
+        )
 
     def step_record(self, params, opt_state, x_sb, c_sb, epoch, batch_ids,
                     encode_fn, extra_fn=None):
@@ -817,7 +851,7 @@ class Trainer:
         superbatch instead of one per batch (reference observation
         order preserved: the posterior is taken right after each
         batch's boot updates, mmvae_alg.hh:315-317)."""
-        assert self.can_step_record()
+        assert self.can_step_record(needs_extra=extra_fn is not None)
         # the compiled step closes over (encode_fn, extra_fn): cache per
         # identity pair so a caller switching recorders gets a rebuild,
         # not the first call's functions silently reused
@@ -831,7 +865,36 @@ class Trainer:
             sb_step = (self._superbatch_step_fast if self.fast is not None
                        else self._superbatch_step)
             record_fns = (encode_fn, extra_fn)
-            if self.dp_shard_map:
+            if self.tp_shard_map:
+                # TP: the in-scan record functions see model-axis SHARDS
+                # of params/x — swap in the TP-aware pair (psum'd over
+                # 'model'; outputs replicated, so the out spec gathers
+                # over 'data' only)
+                from jax.sharding import PartitionSpec as P
+
+                record_fns = (
+                    self._tp_record_encode,
+                    self._tp_record_extra if extra_fn is not None
+                    else None,
+                )
+                p_specs, o_specs = self._tp_specs(params, opt_state)
+                extra_spec = (P(None, "data", None)
+                              if extra_fn is not None else P())
+                step = jax.shard_map(
+                    functools.partial(sb_step, axis_name="data",
+                                      record_fns=record_fns),
+                    mesh=self.mesh,
+                    in_specs=(p_specs, o_specs,
+                              P(None, "data", "model"), P(None, "data"),
+                              P(), P(), P()),
+                    out_specs=(p_specs, o_specs,
+                               (P(), (P(None, "data", None),
+                                      P(None, "data", None)),
+                                extra_spec)),
+                    check_vma=False,
+                )
+                self._step_rec = jax.jit(step, donate_argnums=(0, 1))
+            elif self.dp_shard_map:
                 from jax.sharding import PartitionSpec as P
 
                 extra_spec = (P(None, "data", None)
@@ -905,6 +968,8 @@ def train_vae_model(
     tp_shard_map: bool = False,
     data_dim: int | None = None,
     tp_param_pspecs=None,
+    tp_record_encode: Callable | None = None,
+    tp_record_extra: Callable | None = None,
     fast_step=None,
     metrics_path: str | None = None,
     ondevice: bool = False,
@@ -953,6 +1018,8 @@ def train_vae_model(
                       tp_shard_map=tp_shard_map,
                       data_dim=data_dim,
                       tp_param_pspecs=tp_param_pspecs,
+                      tp_record_encode=tp_record_encode,
+                      tp_record_extra=tp_record_extra,
                       fast_step=fast_step)
     params = init_params
     opt_state = (
@@ -1044,6 +1111,8 @@ def train_vae_model(
             epoch_runner = trainer.make_ondevice_epoch_tp(
                 dense, ntot, B_global, params, opt_state,
                 covar_dim=covar_block.nfeature(),
+                needs_extra=(recorder is not None
+                             and recorder.extra_fn is not None),
             )
         elif dp_ondevice_ok and _is_all_ones(covar_block):
             from ..ops.densify import dp_row_permutation
@@ -1186,7 +1255,8 @@ def train_vae_model(
         # back to one batch per dispatch so the recorder sees the model
         # right after each batch's updates (mmvae_alg.hh:315-317).
         fast_record = (recording_now and recorder is not None
-                       and trainer.can_step_record())
+                       and trainer.can_step_record(
+                           needs_extra=recorder.extra_fn is not None))
         S_eff = 1 if (recording_now and recorder is not None
                       and not fast_record) else S
         # reference-style live `\r[batch] loss` line (mmvae_alg.hh:283):

@@ -275,7 +275,7 @@ def test_superbatch_record_matches_perbatch(setup, tmp_path, monkeypatch):
     def run(tag, force_slow):
         if force_slow:
             monkeypatch.setattr(Trainer, "can_step_record",
-                                lambda self: False)
+                                lambda self, needs_extra=False: False)
         else:
             monkeypatch.undo()
         topt = TrainingOptions(nboot=2, max_epoch=2, recording=1,

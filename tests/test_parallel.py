@@ -626,3 +626,161 @@ def test_dp_shard_map_fast_step_matches_generic_vmf():
                                     VMFFastStep(model, topt))
     np.testing.assert_allclose(r_fast, r_gen, rtol=2e-4)
     _assert_trees_close(p_gen, p_fast)
+
+
+def test_tp_recording_matches_dp(mtx_file, tmp_path):
+    """TP in-scan recording — the host superbatch record step AND the
+    on-device TP epoch runner — produces the same posterior artifacts
+    and trajectory as DP over the same 'data' axis (whose in-scan
+    recording is proven equal to the reference per-batch order)."""
+    import gzip
+
+    from mmvae_tpu.data import MtxDataBlock, create_ones_like
+    from mmvae_tpu.io.index import build_mmutil_index
+    from mmvae_tpu.train.loop import train_vae_model
+    from mmvae_tpu.train.recorder import LatentRecorder
+
+    _need_devices(8)
+    path, idx, dens = mtx_file
+    D = dens.shape[0]
+    B = 24  # ntot=120 wrap-free; divisible over data=4
+
+    def blocks():
+        data = MtxDataBlock(path, idx, B)
+        cov_path = str(tmp_path / "cov.mtx.gz")
+        import os
+
+        if not os.path.exists(cov_path):
+            create_ones_like(data, cov_path)
+            build_mmutil_index(cov_path)
+        covar = MtxDataBlock(cov_path, cov_path + ".index", B)
+        covar.auto_ones = True
+        return data, covar
+
+    model = NBVAE(data_dim=D, covar_dim=1, mean_latent=2)
+
+    def run(tag, mesh=None, tp=False, ondevice=False):
+        data, covar = blocks()
+        topt = TrainingOptions(nboot=2, max_epoch=2, recording=2,
+                               superbatch=2, seed=0, auto_ondevice=False)
+        params = model.init(jax.random.PRNGKey(0))
+        rec = LatentRecorder(
+            str(tmp_path / tag), topt.max_epoch, data.ntot(),
+            encode_fn=lambda p, x: model.encode_mu(p, x),
+            write_params=False,
+        )
+        kw = {}
+        if tp:
+            kw = dict(
+                tp_shard_map=True, data_dim=D,
+                tp_param_pspecs=model.tp_pspecs(params),
+                tp_record_encode=lambda p, x: model.tp_encode_mu(
+                    p, x, None, "model"
+                ),
+                report_loss_override=lambda p, x, c, k, b:
+                    model.fused_step_report_tp(p, x, c, k, b),
+                boot_loss_override=lambda p, x, c, k, b:
+                    model.fused_step_boot_tp(p, x, c, k, b),
+            )
+        elif mesh is not None:
+            kw = dict(dp_shard_map=True)
+        params, losses = train_vae_model(
+            lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+            rec, data, covar, topt,
+            lambda x, out, beta: nb_loss(x, out, beta),
+            params, mesh=mesh, ondevice=ondevice, **kw,
+        )
+
+        def load(name):
+            f = tmp_path / f"{tag}_1.{name}.gz"
+            return np.loadtxt(gzip.open(f, "rt"))
+
+        return losses, load("mu_mean"), load("mu_lnvar")
+
+    # baseline: DP over data=4 (same per-shard PRNG as the TP meshes)
+    mesh_dp = make_mesh(devices=jax.devices()[:4])
+    l_dp, m_dp, v_dp = run("dp", mesh=mesh_dp)
+    # TP host loop (superbatch record shard_map)
+    l_tp, m_tp, v_tp = run("tp", mesh=make_mesh(model_parallel=2), tp=True)
+    # TP on-device epochs (record variant of make_ondevice_epoch_tp)
+    l_td, m_td, v_td = run("tpdev", mesh=make_mesh(model_parallel=2),
+                           tp=True, ondevice=True)
+
+    np.testing.assert_allclose(l_tp, l_dp, rtol=3e-5)
+    np.testing.assert_allclose(l_td, l_dp, rtol=3e-5)
+    for got_m, got_v in ((m_tp, v_tp), (m_td, v_td)):
+        np.testing.assert_allclose(got_m, m_dp, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(got_v, v_dp, rtol=1e-3, atol=1e-5)
+
+
+def test_tp_step_record_mixture_matches_dp():
+    """TP step_record with the mixture's TP record pair (frozen E-step
+    encode + clust responsibilities) matches DP step_record running the
+    host record functions — same 'data' axis => same trajectory, and
+    the in-scan posteriors/assignments agree."""
+    from mmvae_tpu.models.vmfnb_mixture import VMFNBMixtureVAE
+
+    _need_devices(4)
+    D, K, B, S = 64, 4, 16, 2
+    rng = np.random.default_rng(17)
+    L = (rng.uniform(size=(D, K)) < 0.4).astype(np.float32)
+    L[:6] = 0.0
+    model = VMFNBMixtureVAE(label=L, mean_latent=2)
+    x_sb = rng.poisson(1.0, size=(S, B, D)).astype(np.float32)
+    c_sb = np.ones((S, B, 1), np.float32)
+    params0 = model.init(jax.random.PRNGKey(0))
+    topt = TrainingOptions(nboot=2, superbatch=S, seed=0)
+    rkey = jax.random.PRNGKey(0)
+
+    def encode_fn(p, x):
+        vmf = model.vmf_forward(p, x, rkey, False)
+        return model.nb_encode_mu(p, x, vmf.latent)
+
+    def extra_fn(p, x):
+        return model.vmf_forward(p, x, rkey, False).latent
+
+    mesh_dp = make_mesh(devices=jax.devices()[:2])
+    tr_dp = Trainer(
+        lambda p, x, c, k, t: None, lambda x, o, b: None, topt,
+        mesh=mesh_dp, dp_shard_map=True,
+        report_loss_override=lambda p, x, c, k, b:
+            model.fused_step_report(p, x, c, k, b),
+        boot_loss_override=lambda p, x, c, k, b:
+            model.fused_step_boot(p, x, c, k, b),
+    )
+    s0 = tr_dp.optimizer.init(jax.tree.map(jnp.array, params0))
+    p_dp, _, (rep_dp, enc_dp, ex_dp) = tr_dp.step_record(
+        jax.tree.map(jnp.array, params0), s0, x_sb, c_sb, 0,
+        np.arange(S), encode_fn, extra_fn,
+    )
+
+    mesh_tp = make_mesh(model_parallel=2, devices=jax.devices()[:4])
+    tr_tp = Trainer(
+        lambda p, x, c, k, t: None, lambda x, o, b: None, topt,
+        mesh=mesh_tp, tp_shard_map=True, data_dim=D,
+        report_loss_override=lambda p, x, c, k, b:
+            model.fused_step_report_tp(p, x, c, k, b),
+        boot_loss_override=lambda p, x, c, k, b:
+            model.fused_step_boot_tp(p, x, c, k, b),
+        tp_record_encode=lambda p, x: model.tp_nb_encode_mu(
+            p, x, model.tp_vmf_forward(p, x, rkey, False, "model").latent,
+            "model",
+        ),
+        tp_record_extra=lambda p, x: model.tp_vmf_forward(
+            p, x, rkey, False, "model"
+        ).latent,
+    )
+    s1 = tr_tp.optimizer.init(jax.tree.map(jnp.array, params0))
+    p_tp, _, (rep_tp, enc_tp, ex_tp) = tr_tp.step_record(
+        jax.tree.map(jnp.array, params0), s1, x_sb, c_sb, 0,
+        np.arange(S), encode_fn, extra_fn,
+    )
+
+    np.testing.assert_allclose(np.asarray(rep_tp), np.asarray(rep_dp),
+                               rtol=3e-5)
+    for a, b in zip(enc_tp, enc_dp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    # frozen-mode hard Gumbel one-hot assignments are discrete: equal
+    np.testing.assert_array_equal(np.asarray(ex_tp), np.asarray(ex_dp))
+    _tp_vs_dp_params_close(p_tp, p_dp)
