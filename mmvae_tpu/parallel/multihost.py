@@ -88,4 +88,14 @@ def local_rows(arr, axis: int = 1) -> np.ndarray:
     arr = jax.numpy.asarray(arr)
     shards = sorted(arr.addressable_shards,
                     key=lambda s: s.index[axis].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=axis)
+    # replicated mesh axes (e.g. TP's 'model' for batch-sharded record
+    # outputs) surface the same row block once per replica device —
+    # keep one shard per distinct row range
+    seen, uniq = set(), []
+    for s in shards:
+        start = s.index[axis].start or 0
+        if start in seen:
+            continue
+        seen.add(start)
+        uniq.append(s)
+    return np.concatenate([np.asarray(s.data) for s in uniq], axis=axis)
