@@ -294,3 +294,23 @@ def test_two_process_dp_ondevice_matches_single(mtx_file, tmp_path):
         mat(mh_out + "_1.mu_lnvar.gz"), mat(sh_out + "_1.mu_lnvar.gz"),
         rtol=1e-4, atol=2e-6,
     )
+
+
+def test_local_rows_dedupes_model_replicas():
+    """local_rows must fetch each batch-axis block ONCE even when a
+    second mesh axis replicates it (TP record outputs are sharded
+    P(None,'data',None) over a ('data','model') mesh: every 'model'
+    replica surfaces the same row block)."""
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mmvae_tpu.parallel.multihost import local_rows
+
+    mesh = make_mesh(model_parallel=2)
+    a = np.arange(2 * 24 * 3, dtype=np.float32).reshape(2, 24, 3)
+    arr = jax.device_put(a, NamedSharding(mesh, P(None, "data", None)))
+    got = local_rows(arr)
+    np.testing.assert_array_equal(got, a)
