@@ -784,3 +784,56 @@ def test_tp_step_record_mixture_matches_dp():
     # frozen-mode hard Gumbel one-hot assignments are discrete: equal
     np.testing.assert_array_equal(np.asarray(ex_tp), np.asarray(ex_dp))
     _tp_vs_dp_params_close(p_tp, p_dp)
+
+
+def test_tp_step_record_vmf_matches_dp():
+    """vMF TP step_record (tp_encode over model-axis shards) matches DP
+    step_record with the host encode."""
+    from mmvae_tpu.models.vmf import VMFVAE
+    from mmvae_tpu.ops.losses import vmf_loss
+
+    _need_devices(4)
+    D, B, S = 64, 16, 2
+    model = VMFVAE(data_dim=D, covar_dim=1, encoding=(8,), do_relu=True)
+    rng = np.random.default_rng(23)
+    x_sb = rng.poisson(1.0, size=(S, B, D)).astype(np.float32)
+    c_sb = np.ones((S, B, 1), np.float32)
+    params0 = model.init(jax.random.PRNGKey(0))
+    topt = TrainingOptions(nboot=2, superbatch=S, seed=0)
+    encode_fn = lambda p, x: model.encode(p, x)
+
+    mesh_dp = make_mesh(devices=jax.devices()[:2])
+    tr_dp = Trainer(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        lambda x, o, b: vmf_loss(x, o, b), topt, mesh=mesh_dp,
+        dp_shard_map=True,
+    )
+    s0 = tr_dp.optimizer.init(jax.tree.map(jnp.array, params0))
+    p_dp, _, (rep_dp, enc_dp, _) = tr_dp.step_record(
+        jax.tree.map(jnp.array, params0), s0, x_sb, c_sb, 0,
+        np.arange(S), encode_fn,
+    )
+
+    mesh_tp = make_mesh(model_parallel=2, devices=jax.devices()[:4])
+    tr_tp = Trainer(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        lambda x, o, b: vmf_loss(x, o, b), topt, mesh=mesh_tp,
+        tp_shard_map=True, data_dim=D,
+        tp_record_encode=lambda p, x: model.tp_encode(p, x, None, "model"),
+        report_loss_override=lambda p, x, c, k, b:
+            model.tp_step_loss(p, x, c, k, b),
+        boot_loss_override=lambda p, x, c, k, b:
+            model.tp_step_loss(p, x, c, k, b),
+    )
+    s1 = tr_tp.optimizer.init(jax.tree.map(jnp.array, params0))
+    p_tp, _, (rep_tp, enc_tp, _) = tr_tp.step_record(
+        jax.tree.map(jnp.array, params0), s1, x_sb, c_sb, 0,
+        np.arange(S), encode_fn,
+    )
+
+    np.testing.assert_allclose(np.asarray(rep_tp), np.asarray(rep_dp),
+                               rtol=3e-5)
+    for a, b in zip(enc_tp, enc_dp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    _tp_vs_dp_params_close(p_tp, p_dp)
