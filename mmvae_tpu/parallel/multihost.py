@@ -89,13 +89,21 @@ def local_rows(arr, axis: int = 1) -> np.ndarray:
     shards = sorted(arr.addressable_shards,
                     key=lambda s: s.index[axis].start or 0)
     # replicated mesh axes (e.g. TP's 'model' for batch-sharded record
-    # outputs) surface the same row block once per replica device —
-    # keep one shard per distinct row range
+    # outputs) surface the same block once per replica device — keep one
+    # shard per distinct FULL index (so genuinely-2-D-sharded inputs,
+    # which this helper does not support, fail the width check below
+    # instead of being silently truncated)
     seen, uniq = set(), []
     for s in shards:
-        start = s.index[axis].start or 0
-        if start in seen:
+        key = tuple((sl.start, sl.stop) for sl in s.index)
+        if key in seen:
             continue
-        seen.add(start)
+        seen.add(key)
         uniq.append(s)
-    return np.concatenate([np.asarray(s.data) for s in uniq], axis=axis)
+    out = np.concatenate([np.asarray(s.data) for s in uniq], axis=axis)
+    assert all(out.shape[i] == arr.shape[i]
+               for i in range(out.ndim) if i != axis), (
+        f"local_rows expects sharding along axis {axis} only; "
+        f"got shard shape {out.shape} vs global {arr.shape}"
+    )
+    return out

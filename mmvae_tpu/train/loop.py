@@ -690,7 +690,10 @@ class Trainer:
             data_sharded = jax.device_put(data_dense_perm, sharding)
 
         def run(params, opt_state, epoch: int, record: bool = False):
-            fn = jitted_rec if (record and jitted_rec is not None) else jitted
+            # callers must check run.can_record (train() does): the
+            # non-recording step returns a different output structure
+            assert not record or jitted_rec is not None
+            fn = jitted_rec if record else jitted
             ef = jnp.float32(epoch)
             rand = jdraw(self._base_key, ef) if jdraw is not None else None
             return fn(params, opt_state, ef,
@@ -788,7 +791,10 @@ class Trainer:
         data_sharded = jax.device_put(data_dense_perm, sharding)
 
         def run(params, opt_state, epoch: int, record: bool = False):
-            fn = jitted_rec if (record and jitted_rec is not None) else jitted
+            # callers must check run.can_record (train() does): the
+            # non-recording step returns a different output structure
+            assert not record or jitted_rec is not None
+            fn = jitted_rec if record else jitted
             return fn(params, opt_state, jnp.float32(epoch),
                       self._base_key, data_sharded)
 
