@@ -33,6 +33,24 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    import threading
+
+    # fail fast when the axon tunnel is down: backend init then hangs
+    # forever inside jax.devices()/the first dispatch with no error
+    # (observed: multi-hour outages).  The watchdog exits non-zero so
+    # the driver sees a failed run quickly instead of a hang.
+    _device_ready = threading.Event()
+
+    def _watchdog():
+        if not _device_ready.wait(420):
+            sys.stderr.write(
+                "bench: no device contact within 420 s "
+                "(axon tunnel down?)\n"
+            )
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from mmvae_tpu.models.nb import NBVAE
     from mmvae_tpu.ops.losses import nb_loss
     from mmvae_tpu.train.config import TrainingOptions
@@ -89,6 +107,8 @@ def main() -> None:
             jnp.int16
         )
     )(jax.random.PRNGKey(42))
+    np.asarray(data_dense[:1, :1])  # force device contact
+    _device_ready.set()
     runner = trainer.make_ondevice_epoch(
         types.SimpleNamespace(D=D), None, ntot, B, covar_dim=1,
         data_dense=data_dense,
