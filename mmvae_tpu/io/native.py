@@ -339,7 +339,12 @@ def decode_threads() -> int:
     feeding several chips), clamped by MMVAE_DECODE_THREADS."""
     env = os.environ.get("MMVAE_DECODE_THREADS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            from ..utils.logging import WLOG
+
+            WLOG(f"ignoring non-integer MMVAE_DECODE_THREADS={env!r}")
     return max(1, os.cpu_count() or 1)
 
 

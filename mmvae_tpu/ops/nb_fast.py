@@ -21,12 +21,14 @@ semantics (include/mmvae_alg.hh:277-311) exactly:
   once per batch and each boot's encoder collapses to two slim MXU
   matmuls — no per-boot (B, D) elementwise traffic, no per-boot widening
   of the int16 count tensor.
-- **Gather commutation.**  Bootstrap resampling gathers rows of the
-  (B, latent) encoder outputs instead of rows of the (B, D) data for
-  everything except the likelihood kernels: ``(L[ridx] @ W) ==
-  (L @ W)[ridx]`` exactly (row-independent dot products), so only the
-  int16 ``x`` itself is gathered per boot (half the bytes of the f32
-  gather it replaces).
+- **Gather placement.**  Bootstrap resampling gathers the INPUT rows
+  and re-encodes them (``_loss``): although ``(L[ridx] @ W) ==
+  (L @ W)[ridx]`` bitwise (row-independent dots), differentiating
+  through a row-gather of the head outputs makes XLA scatter-add the
+  cotangents back over all B rows (~36 us/batch measured) — encoding
+  the gathered rows costs the same slim dots with a plain dense
+  backward.  Only the int16 ``x`` is gathered (half the bytes of the
+  f32 gather it replaces); the hoisted views serve the report pass.
 
 The likelihood/gradient heavy lifting stays in the v2 single-pass
 Pallas kernels (ops/nb_step.py).  Valid for the reference's default

@@ -55,7 +55,10 @@ from .nb_elbo import (
 
 _INTERPRET = False  # flipped by tests on CPU
 
-_TD = 1024          # lane tile width (wider measured slower on v5e)
+_TD = 1024          # lane tile width: retuned 512 -> 1024 after the
+                    # rank-k contractions moved to the MXU (cc53f11);
+                    # 2048 measured slower, and pre-MXU 1024 was too
+                    # (the old CLAUDE.md dead-end refers to that regime)
 
 
 def _tile_for(bp: int) -> int:

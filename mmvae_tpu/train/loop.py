@@ -145,8 +145,11 @@ class Trainer:
         # loss overrides must be TP-aware (model.fused_step_*_tp).
         self.tp_shard_map = tp_shard_map and mesh is not None
         # v3 packed-parameter step (ops/nb_fast.py): not composable with
-        # kernel-aware TP (which shards the named leaves)
-        self.fast = fast_step if not tp_shard_map else None
+        # kernel-aware TP (which shards the named leaves) — keyed on the
+        # mesh-guarded self.tp_shard_map so (tp_shard_map=True, mesh=None)
+        # keeps the fast path instead of silently dropping to the ~45%
+        # slower generic step
+        self.fast = fast_step if not self.tp_shard_map else None
         if self.fast is not None:
             # single source of truth for the annealing constants
             self.fast.kl_max, self.fast.kl_min, self.fast.kl_discount = kl
@@ -860,9 +863,15 @@ class Trainer:
         assert self.can_step_record(needs_extra=extra_fn is not None)
         # the compiled step closes over (encode_fn, extra_fn): cache per
         # identity pair so a caller switching recorders gets a rebuild,
-        # not the first call's functions silently reused
-        rec_key = (id(encode_fn), id(extra_fn))
-        if self._step_rec is not None and self._step_rec_key != rec_key:
+        # not the first call's functions silently reused.  The key holds
+        # STRONG references and compares with ``is`` — an id()-based key
+        # would alias a new function landing on a GC-recycled id and
+        # silently reuse a step traced over the old encoder.
+        rec_key = (encode_fn, extra_fn)
+        if self._step_rec is not None and not (
+            self._step_rec_key[0] is encode_fn
+            and self._step_rec_key[1] is extra_fn
+        ):
             self._step_rec = None
         if self._step_rec is None:
             self._step_rec_key = rec_key
@@ -1267,10 +1276,14 @@ def train_vae_model(
                       and not fast_record) else S
         # reference-style live `\r[batch] loss` line (mmvae_alg.hh:283):
         # interactive primary-host runs only — reading the loss forces a
-        # per-superbatch device sync that pipelined runs must not pay
+        # per-superbatch device sync that pipelined runs must not pay.
+        # Rate-limited to ~1 Hz so an interactive run pays at most one
+        # ~27 ms tunnel sync per second instead of one per superbatch
+        # (which measured as a ~40% throughput cliff keyed on isatty).
         _live_batch_display = (
             sys.stderr.isatty() and jax.process_index() == 0
         )
+        _live_last_t = 0.0
 
         loader = PrefetchLoader(data_block, covar_block, batches,
                                 depth=2 * S_eff)
@@ -1278,7 +1291,7 @@ def train_vae_model(
         counter = 0
 
         def flush():
-            nonlocal params, opt_state, counter
+            nonlocal params, opt_state, counter, _live_last_t
             if not buf:
                 return
             with timer.phase("step"), annotate("train_step"):
@@ -1299,12 +1312,15 @@ def train_vae_model(
                 reports.append(rep)
             if _live_batch_display:
                 # reference per-batch progress line (mmvae_alg.hh:283-284)
-                # — TTY-only, because reading `rep` here forces a device
-                # sync that the pipelined non-interactive path must not pay
-                sys.stderr.write(
-                    f"\r[{counter + len(buf):>20}] "
-                    f"{float(np.asarray(rep)[-1]):>20.6f}"
-                )
+                # — TTY-only AND rate-limited, because reading `rep` here
+                # forces a device sync the pipelined path must not pay
+                nonlocal_now = time.monotonic()
+                if nonlocal_now - _live_last_t >= 1.0:
+                    sys.stderr.write(
+                        f"\r[{counter + len(buf):>20}] "
+                        f"{float(np.asarray(rep)[-1]):>20.6f}"
+                    )
+                    _live_last_t = nonlocal_now
             if fast_record:
                 with timer.phase("record"):
                     extra = (extra if recorder.extra_fn is not None

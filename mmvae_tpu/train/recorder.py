@@ -237,15 +237,18 @@ class LatentRecorder:
         key = tuple((i, a.shape) for i, (a, p)
                     in enumerate(zip(leaves, packable)) if p)
         if getattr(self, "_packer_key", None) != key:
-            idx = [i for i, p in enumerate(packable) if p]
-
+            # the jitted packer takes ONLY the packable leaves — passing
+            # the full list would upload unused host-numpy leaves to the
+            # device on every recording epoch
             def pack(ls):
-                return jnp.concatenate([jnp.ravel(ls[i]) for i in idx])
+                return jnp.concatenate([jnp.ravel(a) for a in ls])
 
             self._packer_key = key
             self._packer = jax.jit(pack)
-            self._packer_idx = idx
-        flat = np.asarray(self._packer(leaves))
+            self._packer_idx = [i for i, p in enumerate(packable) if p]
+        flat = np.asarray(
+            self._packer([leaves[i] for i in self._packer_idx])
+        )
         out = list(leaves)
         off = 0
         for i in self._packer_idx:

@@ -28,8 +28,11 @@ def pretty_print(model, params: dict, file=None) -> None:
         (f.name, getattr(model, f.name))
         for f in model.__dataclass_fields__.values()
     ):
-        if isinstance(v, np.ndarray):
-            cfg.append(f"{k}=<{v.shape[0]}x{v.shape[1]} matrix>")
+        shape = getattr(v, "shape", None)
+        if shape is not None and len(shape) > 0:
+            # any array-valued config field (np OR jax, any rank):
+            # summarize by shape — never dump contents to stderr
+            cfg.append(f"{k}=<{'x'.join(str(s) for s in shape)} array>")
         else:
             cfg.append(f"{k}={v}")
     out.write(f"{type(model).__name__}({', '.join(cfg)})\n")
@@ -39,11 +42,12 @@ def pretty_print(model, params: dict, file=None) -> None:
         val = params[name]
         if isinstance(val, dict):
             parts = []
-            for sub in ("weight", "bias"):
-                if sub in val:
-                    shape = tuple(np.shape(val[sub]))
-                    total += int(np.prod(shape))
-                    parts.append(f"{sub} {shape}")
+            order = [s for s in ("weight", "bias") if s in val]
+            order += [s for s in sorted(val) if s not in ("weight", "bias")]
+            for sub in order:
+                shape = tuple(np.shape(val[sub]))
+                total += int(np.prod(shape))
+                parts.append(f"{sub} {shape}")
             out.write(f"  ({name}): {' | '.join(parts)}\n")
         else:
             shape = tuple(np.shape(val))

@@ -454,3 +454,44 @@ def test_encode_mixture_and_tp_checkpoints(train_mtx, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     enc = read_data_file(str(tmp_path / "tenc.mu_mean.gz"))
     assert enc.shape == (80, 2) and np.isfinite(enc).all()
+
+
+def test_pretty_print_handles_array_fields():
+    """Array-valued model config fields of any rank (np OR jax) print as
+    shape summaries, never as full contents, and never crash."""
+    import io as _io
+    from dataclasses import dataclass, field
+
+    from mmvae_tpu.utils.summary import pretty_print
+
+    @dataclass
+    class Toy:
+        mask: np.ndarray = field(
+            default_factory=lambda: np.ones(7, np.float32))
+        label: object = None
+        name: str = "toy"
+
+    toy = Toy(label=jnp.ones((5, 3), jnp.float32))
+    buf = _io.StringIO()
+    params = {"dec": {"weight": np.zeros((4, 2)), "bias": np.zeros(2),
+                      "extra": np.zeros(3)},
+              "kappa": np.zeros(())}
+    pretty_print(toy, params, file=buf)
+    text = buf.getvalue()
+    assert "mask=<7 array>" in text
+    assert "label=<5x3 array>" in text
+    # total counts weight+bias+extra+kappa = 8+2+3+1
+    assert "[14 parameters]" in text
+    # no dumped contents
+    assert "1. 1. 1." not in text
+
+
+def test_decode_threads_env_fallback(monkeypatch):
+    from mmvae_tpu.io.native import decode_threads
+
+    monkeypatch.setenv("MMVAE_DECODE_THREADS", "3")
+    assert decode_threads() == 3
+    monkeypatch.setenv("MMVAE_DECODE_THREADS", "auto")
+    assert decode_threads() >= 1  # malformed -> warn + cpu_count fallback
+    monkeypatch.delenv("MMVAE_DECODE_THREADS")
+    assert decode_threads() >= 1
