@@ -532,10 +532,15 @@ class Trainer:
             jax.jit(make_epoch_fn(True), donate_argnums=(0, 1))
             if encode_fn is not None else None
         )
-        data_arrs = (
-            data_dense if dense_mode
-            else (data_csc.ell_rows, data_csc.ell_vals)
-        )
+        if dense_mode:
+            # device-generated matrices can land column-major; the jit
+            # would re-copy the WHOLE array to row-major every epoch
+            # (ops/densify.ensure_row_major docstring has the numbers)
+            from ..ops.densify import ensure_row_major
+
+            data_arrs = ensure_row_major(data_dense)
+        else:
+            data_arrs = (data_csc.ell_rows, data_csc.ell_vals)
         if fast is not None:
             b_ids = jnp.arange(nbatch, dtype=jnp.int32)
             jdraw = jax.jit(lambda bk, ef: fast.draw_rand(
