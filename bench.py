@@ -109,6 +109,12 @@ def main() -> None:
     )(jax.random.PRNGKey(42))
     np.asarray(data_dense[:1, :1])  # force device contact
     _device_ready.set()
+    # rebind through the relayout HERE so the column-major original is
+    # freed — relayouting inside the trainer while this frame still
+    # held the source would keep both 1 GB copies resident all run
+    from mmvae_tpu.ops.densify import ensure_row_major
+
+    data_dense = ensure_row_major(data_dense)
     runner = trainer.make_ondevice_epoch(
         types.SimpleNamespace(D=D), None, ntot, B, covar_dim=1,
         data_dense=data_dense,

@@ -136,7 +136,7 @@ def main(argv=None) -> int:
 
         mesh = make_mesh()
 
-    if tp == 1 and topt.fused_step:
+    if tp == 1 and topt.fused and topt.fused_step:
         # v3 packed-parameter step (ops/vmf_fast.py): hoisted data
         # views, hoisted encoder algebra, 2-leaf optimizer
         from ..ops.vmf_fast import VMFFastStep

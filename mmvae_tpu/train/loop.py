@@ -509,14 +509,8 @@ class Trainer:
                         xr = (x.astype(jnp.float32)
                               if jnp.issubdtype(x.dtype, jnp.integer)
                               else x)
-                        # barrier: keep the record encode out of the
-                        # train step's fusion (see _record_outputs)
-                        p_rec, xr = jax.lax.optimization_barrier(
-                            (p_rec, xr))
-                        enc = encode_fn(p_rec, xr)
-                        extra = (extra_fn(p_rec, xr)
-                                 if extra_fn is not None else jnp.zeros(()))
-                        out = (rep, enc, extra)
+                        out = (rep,) + _record_outputs(
+                            (encode_fn, extra_fn), p_rec, xr)
                     return (st, opt_st), out
 
                 (st, opt_st), outs = jax.lax.scan(scan_body, carry0, xs)
@@ -623,13 +617,8 @@ class Trainer:
                     p_rec = fast.unpack(st) if fast is not None else st
                     xr = (x.astype(jnp.float32)
                           if jnp.issubdtype(x.dtype, jnp.integer) else x)
-                    # barrier: keep the record encode out of the train
-                    # step's fusion (see _record_outputs)
-                    p_rec, xr = jax.lax.optimization_barrier((p_rec, xr))
-                    enc = encode_fn(p_rec, xr)
-                    extra = (extra_fn(p_rec, xr)
-                             if extra_fn is not None else jnp.zeros(()))
-                    out = (rep, enc, extra)
+                    out = (rep,) + _record_outputs(
+                        (encode_fn, extra_fn), p_rec, xr)
                 return (st, opt_st), out
 
             (st, opt_st), outs = jax.lax.scan(scan_body, carry0, xs)
@@ -695,7 +684,14 @@ class Trainer:
                 sharding, np.asarray(data_dense_perm)
             )
         else:
-            data_sharded = jax.device_put(data_dense_perm, sharding)
+            from ..ops.densify import ensure_row_major
+
+            # pin row-major so a column-major source doesn't force a
+            # full relayout copy at every epoch dispatch (see
+            # ops/densify.ensure_row_major)
+            data_sharded = ensure_row_major(
+                jax.device_put(data_dense_perm, sharding)
+            )
 
         def run(params, opt_state, epoch: int, record: bool = False):
             # callers must check run.can_record (train() does): the
@@ -796,7 +792,11 @@ class Trainer:
         jitted = build(False)
         jitted_rec = build(True) if can_record else None
         sharding = NamedSharding(self.mesh, P("data", "model"))
-        data_sharded = jax.device_put(data_dense_perm, sharding)
+        from ..ops.densify import ensure_row_major
+
+        data_sharded = ensure_row_major(
+            jax.device_put(data_dense_perm, sharding)
+        )
 
         def run(params, opt_state, epoch: int, record: bool = False):
             # callers must check run.can_record (train() does): the
@@ -1398,6 +1398,7 @@ def _build_dense(block, order=None, sharding=None):
     otherwise.  ``sharding`` places the array directly (avoids staging
     the full matrix on one device before a DP re-shard)."""
     from ..io import native
+    from ..ops.densify import ensure_row_major
 
     blk = _as_memory_block(block)
     rows, vals, indptr = blk.csc_arrays()
@@ -1411,9 +1412,12 @@ def _build_dense(block, order=None, sharding=None):
     from ..ops.densify import DeviceCSC, materialize_dense
 
     csc = DeviceCSC.from_memory_block(blk, count_dtype="auto")
-    dense = materialize_dense(csc, order=order)
+    # relayout HERE (not just in the epoch runners) so the column-major
+    # jit output is dropped immediately instead of staying referenced
+    # next to its row-major copy for the whole run
+    dense = ensure_row_major(materialize_dense(csc, order=order))
     if sharding is not None:
-        dense = jax.device_put(dense, sharding)
+        dense = ensure_row_major(jax.device_put(dense, sharding))
     return dense
 
 
