@@ -336,7 +336,12 @@ def dense_fill(rows: np.ndarray, vals: np.ndarray, indptr: np.ndarray,
 def decode_threads() -> int:
     """Decoder thread count for the streaming batch reader: the CPU
     count by default (the design target is a multi-core TPU host
-    feeding several chips), clamped by MMVAE_DECODE_THREADS."""
+    feeding several chips), clamped by MMVAE_DECODE_THREADS.
+
+    The default leaves headroom for the training process's own XLA
+    host threads and the prefetch thread — cpu_count - 2, capped at 8
+    (several prefetched batch reads run concurrently, so per-call
+    width times prefetch depth is the real footprint)."""
     env = os.environ.get("MMVAE_DECODE_THREADS")
     if env:
         try:
@@ -345,7 +350,7 @@ def decode_threads() -> int:
             from ..utils.logging import WLOG
 
             WLOG(f"ignoring non-integer MMVAE_DECODE_THREADS={env!r}")
-    return max(1, os.cpu_count() or 1)
+    return max(1, min(8, (os.cpu_count() or 1) - 2))
 
 
 def read_batch(

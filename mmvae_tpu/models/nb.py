@@ -312,30 +312,16 @@ class NBVAE:
     # with their normalizer/row reductions psum'd (ops/nb_step.py).
     # ------------------------------------------------------------------
     def tp_pspecs(self, params: dict):
-        """Name-aware TP PartitionSpecs: the feature-axis position of
-        every parameter is known from its NAME (the dict keys double as
-        the reference's artifact names), so hidden widths equal to D
-        cannot be mis-sharded (unlike the size heuristic of
-        parallel.mesh.tree_pspecs)."""
-        from jax.sharding import PartitionSpec as P
+        """Name-aware TP PartitionSpecs (the shared rule set lives in
+        :func:`~mmvae_tpu.parallel.mesh.feature_sharded_pspecs`)."""
+        from ..parallel.mesh import feature_sharded_pspecs
 
-        row = {self._enc_names()[0], "nu_encoding", "depth"}  # (D, *) weight
-        col = {"mu_decoding", "covar_decoding", "nu_decoding"}  # (*, D)
-        flat = {"x_mean", "ln_x_sd", "mu_bias", "nu_bias"}  # (1, D)
-
-        def spec_for(name, val):
-            if name in flat:
-                return P(None, "model")
-            if name in row:
-                # (D, H) weight rows; Angular layers carry no bias
-                return {k: (P("model", None) if k == "weight" else P())
-                        for k in val}
-            if name in col:
-                return {k: (P(None, "model") if k == "weight"
-                            else P("model")) for k in val}
-            return jax.tree_util.tree_map(lambda _: P(), val)
-
-        return {k: spec_for(k, v) for k, v in params.items()}
+        return feature_sharded_pspecs(
+            params,
+            row={self._enc_names()[0], "nu_encoding", "depth"},
+            col={"mu_decoding", "covar_decoding", "nu_decoding"},
+            flat={"x_mean", "ln_x_sd", "mu_bias", "nu_bias"},
+        )
 
     def _tp_first_linear(self, p, xn, model_axis):
         """D-sharded Linear: local partial product, psum, replicated

@@ -147,28 +147,18 @@ class VMFVAE:
     # replicated.  Semantics identical to the replicated forward+loss.
     # ------------------------------------------------------------------
     def tp_pspecs(self, params: dict):
-        """Name-aware TP PartitionSpecs (see NBVAE.tp_pspecs).  The
+        """Name-aware TP PartitionSpecs (shared rules:
+        :func:`~mmvae_tpu.parallel.mesh.feature_sharded_pspecs`).  The
         Angular encoder first layer is a (D, H) row shard with no bias;
         ``ln_kappa`` is a replicated scalar."""
-        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import feature_sharded_pspecs
 
-        row = {self._enc_names()[0]}
-        col = {self._dec_names()[-1], "covar_decoding_"}
-        flat = {"x_mean", "ln_x_sd"}
-
-        def spec_for(name, val):
-            if name in flat:
-                return P(None, "model")
-            if name in row:
-                # (D, H) weight rows; Angular layers carry no bias
-                return {k: (P("model", None) if k == "weight" else P())
-                        for k in val}
-            if name in col:
-                return {k: (P(None, "model") if k == "weight"
-                            else P("model")) for k in val}
-            return jax.tree_util.tree_map(lambda _: P(), val)
-
-        return {k: spec_for(k, v) for k, v in params.items()}
+        return feature_sharded_pspecs(
+            params,
+            row={self._enc_names()[0]},
+            col={self._dec_names()[-1], "covar_decoding_"},
+            flat={"x_mean", "ln_x_sd"},
+        )
 
     def tp_standardize(self, params, x, model_axis):
         from ..parallel.collectives import tp_l2_normalize

@@ -318,28 +318,18 @@ class VMFNBVAE:
     # psum'd L2 norm.  Semantics identical to the replicated step.
     # ------------------------------------------------------------------
     def tp_pspecs(self, params: dict):
-        """Name-aware TP PartitionSpecs (see NBVAE.tp_pspecs)."""
-        from jax.sharding import PartitionSpec as P
+        """Name-aware TP PartitionSpecs (shared rules:
+        :func:`~mmvae_tpu.parallel.mesh.feature_sharded_pspecs`)."""
+        from ..parallel.mesh import feature_sharded_pspecs
 
-        row = {self._enc_names()[0], "nb_nu_encoding", "depth",
-               "ln_kappa"}
-        col = {"nb_mu_decoding", "nb_nu_decoding",
-               self._vdec_names()[-1]}
-        flat = {"x_mean", "ln_x_sd", "mu_bias", "nu_bias"}
-
-        def spec_for(name, val):
-            if name in flat:
-                return P(None, "model")
-            if name in row:
-                # (D, H) weight rows; Angular layers carry no bias
-                return {k: (P("model", None) if k == "weight" else P())
-                        for k in val}
-            if name in col:
-                return {k: (P(None, "model") if k == "weight"
-                            else P("model")) for k in val}
-            return jax.tree_util.tree_map(lambda _: P(), val)
-
-        return {k: spec_for(k, v) for k, v in params.items()}
+        return feature_sharded_pspecs(
+            params,
+            row={self._enc_names()[0], "nb_nu_encoding", "depth",
+                 "ln_kappa"},
+            col={"nb_mu_decoding", "nb_nu_decoding",
+                 self._vdec_names()[-1]},
+            flat={"x_mean", "ln_x_sd", "mu_bias", "nu_bias"},
+        )
 
     def _tp_first_linear(self, p, xn, model_axis):
         from ..parallel.collectives import psum_id_grad

@@ -61,6 +61,9 @@ _TD = 1024          # lane tile width: retuned 512 -> 1024 after the
                     # (the old CLAUDE.md dead-end refers to that regime)
 
 
+_SLOT_CAP = 104 * 2048  # bp x td budget: ~13 MB scoped VMEM worst case
+
+
 def _tile_for(bp: int) -> int:
     """Lane tile width for a padded batch of ``bp`` rows.
 
@@ -68,20 +71,23 @@ def _tile_for(bp: int) -> int:
     f32 accumulators plus double-buffered operand blocks); at the
     reference batch (bp=104) the fastest tile is 1024, but larger
     batches must narrow the tile to stay under Mosaic's 16 MB scoped
-    VMEM (measured: bp=400 x td=1024 wants 26.6 MB).  bp x td <=
-    104 x 2048 keeps the footprint at ~13 MB worst case."""
+    VMEM (measured: bp=400 x td=1024 wants 26.6 MB).  The tile floors
+    at 128 lanes, so batches past ``_SLOT_CAP / 128`` padded rows have
+    no legal tile — ``_use_kernel`` routes those to the XLA step."""
     td = _TD
-    while td > 128 and bp * td > 104 * 2048:
+    while td > 128 and bp * td > _SLOT_CAP:
         td //= 2
     return td
 _XMAX_FAST = 7.0   # fast path covers integer counts 0..7
 
 
-def _use_kernel(D: int) -> bool:
+def _use_kernel(D: int, B: int | None = None) -> bool:
     if _INTERPRET:
         return True
     if jax.default_backend() not in ("tpu", "axon"):
         return False
+    if B is not None and _ceil_to(B, 8) * 128 > _SLOT_CAP:
+        return False  # no tile narrow enough fits scoped VMEM
     return D >= 512
 
 
@@ -728,7 +734,7 @@ def nb_step_report(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
     reporting forward takes no grad step (reference:
     mmvae_alg.hh:277-285).  With ``model_axis`` the D-sized operands are
     shards and the normalizer/NLL combine over the mesh axis (TP)."""
-    if not _use_kernel(x.shape[1]):
+    if not _use_kernel(x.shape[1], x.shape[0]):
         return xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn,
                             bias_n, pb, include_const, nu_exp, model_axis)
     xp, zmp, cp, znp, dpp, W, dims = _prep(
@@ -769,7 +775,7 @@ def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
     axis, while per-COLUMN weight gradients stay shard-local — the
     TPU-native layout for a feature-sharded decoder (SURVEY §5.7,
     nb.hh:433-442 at atlas-scale D)."""
-    if not _use_kernel(x.shape[1]):
+    if not _use_kernel(x.shape[1], x.shape[0]):
         args = [jnp.asarray(x, jnp.float32), zm, c, zn, depth, wd, wc,
                 bias2, wn, bias_n]
         if pb is not None:

@@ -63,6 +63,43 @@ def tree_pspecs(tree, data_dim: int):
     return jax.tree_util.tree_map(spec_for, tree)
 
 
+def feature_sharded_pspecs(params, row=(), col=(), flat=(),
+                           overrides=None):
+    """Name-convention TP PartitionSpecs over the 'model' (feature D)
+    mesh axis — the shared body of every model's ``tp_pspecs``.
+
+    - ``row``: module names whose (D, H) weight shards ROWS —
+      ``P('model', None)`` weight, replicated bias (Angular first
+      layers carry no bias at all).
+    - ``col``: module names whose (H, D) weight shards COLUMNS —
+      ``P(None, 'model')`` weight, ``P('model')`` bias.
+    - ``flat``: names of bare (1, D) leaves — ``P(None, 'model')``.
+    - ``overrides``: ``name -> PartitionSpec``, checked first (the
+      mixture's (D, K) ``ln_vmf_mu`` row shard).
+
+    Everything else is replicated.  Being name-keyed (the dict keys
+    double as the reference's artifact names), hidden widths equal to
+    D cannot be mis-sharded — unlike the size heuristic of
+    :func:`tree_pspecs`."""
+    row, col, flat = set(row), set(col), set(flat)
+    overrides = overrides or {}
+
+    def spec_for(name, val):
+        if name in overrides:
+            return overrides[name]
+        if name in flat:
+            return P(None, "model")
+        if name in row:
+            return {k: (P("model", None) if k == "weight" else P())
+                    for k in val}
+        if name in col:
+            return {k: (P(None, "model") if k == "weight"
+                        else P("model")) for k in val}
+        return jax.tree_util.tree_map(lambda _: P(), val)
+
+    return {k: spec_for(k, v) for k, v in params.items()}
+
+
 def named_tree_pspecs(tree, param_specs):
     """Propagate NAME-AWARE parameter PartitionSpecs onto an arbitrary
     pytree whose leaves mirror the parameter dict by trailing dict path

@@ -227,34 +227,41 @@ class LatentRecorder:
         Per-leaf ``np.asarray`` costs an ~27 ms round trip each over the
         remote-device tunnel (~0.8 s for the NB tree's 26 leaves every
         recording epoch); concatenating the raveled leaves on device and
-        splitting on the host pays one round trip total.  Leaves that are
-        already host numpy (or non-f32) pass through per-leaf."""
+        splitting on the host pays one round trip total.  Host numpy
+        leaves pass through; non-f32 DEVICE leaves are fetched per-leaf
+        so NO device reference survives this call — submit_epoch's
+        async writer relies on that (the caller's next epoch dispatch
+        donates the parameter buffers; a deferred fetch would touch
+        deleted arrays)."""
         leaves, treedef = jax.tree_util.tree_flatten(params)
         packable = [isinstance(a, jax.Array) and a.dtype == jnp.float32
                     for a in leaves]
-        if not any(packable):
-            return params
-        key = tuple((i, a.shape) for i, (a, p)
-                    in enumerate(zip(leaves, packable)) if p)
-        if getattr(self, "_packer_key", None) != key:
-            # the jitted packer takes ONLY the packable leaves — passing
-            # the full list would upload unused host-numpy leaves to the
-            # device on every recording epoch
-            def pack(ls):
-                return jnp.concatenate([jnp.ravel(a) for a in ls])
-
-            self._packer_key = key
-            self._packer = jax.jit(pack)
-            self._packer_idx = [i for i, p in enumerate(packable) if p]
-        flat = np.asarray(
-            self._packer([leaves[i] for i in self._packer_idx])
-        )
         out = list(leaves)
-        off = 0
-        for i in self._packer_idx:
-            n = int(np.prod(leaves[i].shape)) if leaves[i].ndim else 1
-            out[i] = flat[off:off + n].reshape(leaves[i].shape)
-            off += n
+        if any(packable):
+            key = tuple((i, a.shape) for i, (a, p)
+                        in enumerate(zip(leaves, packable)) if p)
+            if getattr(self, "_packer_key", None) != key:
+                # the jitted packer takes ONLY the packable leaves —
+                # passing the full list would upload unused host-numpy
+                # leaves to the device on every recording epoch
+                def pack(ls):
+                    return jnp.concatenate([jnp.ravel(a) for a in ls])
+
+                self._packer_key = key
+                self._packer = jax.jit(pack)
+                self._packer_idx = [i for i, p in enumerate(packable)
+                                    if p]
+            flat = np.asarray(
+                self._packer([leaves[i] for i in self._packer_idx])
+            )
+            off = 0
+            for i in self._packer_idx:
+                n = int(np.prod(leaves[i].shape)) if leaves[i].ndim else 1
+                out[i] = flat[off:off + n].reshape(leaves[i].shape)
+                off += n
+        for i, a in enumerate(out):
+            if isinstance(a, jax.Array):
+                out[i] = np.asarray(a)
         return jax.tree_util.tree_unflatten(treedef, out)
 
     def update_on_epoch(self, params, epoch: int,

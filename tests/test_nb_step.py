@@ -411,3 +411,16 @@ def test_fused_step_int_x_close():
         scale = max(1e-3, float(np.abs(np.asarray(b)).max()))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6 * scale)
+
+
+def test_use_kernel_batch_gate(monkeypatch):
+    """Batches whose padded rows can't tile under Mosaic's scoped-VMEM
+    cap even at the 128-lane floor must route to the XLA step instead
+    of emitting an un-compilable kernel."""
+    monkeypatch.setattr(nb_step, "_INTERPRET", False)
+    monkeypatch.setattr(nb_step.jax, "default_backend", lambda: "tpu")
+    assert nb_step._use_kernel(20000, 100)
+    assert nb_step._use_kernel(20000, nb_step._SLOT_CAP // 128)
+    assert not nb_step._use_kernel(20000, nb_step._SLOT_CAP // 128 + 8)
+    # the tile helper itself floors at 128 lanes
+    assert nb_step._tile_for(nb_step._SLOT_CAP // 128) == 128

@@ -11,6 +11,7 @@ from mmvae_tpu.train.config import TrainingOptions
 from mmvae_tpu.train.loop import train_vae_model
 
 import jax
+import jax.numpy as jnp
 
 
 @pytest.fixture()
@@ -389,3 +390,25 @@ def test_ondevice_dp_fast_step_vmf(mtx_file, tmp_path):
                     jax.tree_util.tree_leaves(p_dev)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_fetch_params_leaves_no_device_refs(tmp_path):
+    """_fetch_params must fetch EVERY device leaf (not just packable
+    f32 ones): submit_epoch hands the result to the writer thread
+    while the next epoch's dispatch donates the live param buffers —
+    a surviving device reference would read a deleted array."""
+    from mmvae_tpu.train.recorder import LatentRecorder
+
+    rec = LatentRecorder(str(tmp_path / "hdr"), 2, 4,
+                         encode_fn=lambda p, x: x)
+    params = {
+        "w": jnp.ones((3, 2), jnp.float32),          # packable
+        "steps": jnp.asarray(7, jnp.int32),          # non-f32 device
+        "host": np.zeros(2, np.float32),             # host passthrough
+    }
+    out = rec._fetch_params(params)
+    assert not any(isinstance(a, jax.Array)
+                   for a in jax.tree_util.tree_leaves(out))
+    np.testing.assert_array_equal(out["w"], np.ones((3, 2)))
+    assert out["steps"] == 7
+    assert out["host"] is params["host"]

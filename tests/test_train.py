@@ -494,4 +494,5 @@ def test_decode_threads_env_fallback(monkeypatch):
     monkeypatch.setenv("MMVAE_DECODE_THREADS", "auto")
     assert decode_threads() >= 1  # malformed -> warn + cpu_count fallback
     monkeypatch.delenv("MMVAE_DECODE_THREADS")
-    assert decode_threads() >= 1
+    # default leaves headroom for the XLA host/prefetch threads
+    assert 1 <= decode_threads() <= 8
