@@ -45,6 +45,12 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--batch_size", type=int, default=100)
+    p.add_argument("--chunk_batches", type=int, default=16,
+                   help="batches encoded per device dispatch (lax.map "
+                        "inside one jit); amortizes the per-dispatch "
+                        "host<->device round trip, which dominates on "
+                        "remote/tunneled devices.  1 = one dispatch per "
+                        "batch (the legacy behavior).")
     # model shape flags must match the training run
     p.add_argument("--mean_encoding", type=_csv_ints, default=())
     p.add_argument("--mean_decoding", type=_csv_ints, default=())
@@ -77,13 +83,13 @@ def main(argv=None) -> int:
                       mean_latent=ns.mean_latent,
                       overdisp_encoding=ns.overdisp_encoding,
                       overdisp_latent=ns.overdisp_latent, do_relu=ns.do_relu)
-        encode = jax.jit(lambda p, x: model.encode_mu(p, x))
+        batch_fn = lambda p, x: model.encode_mu(p, x)  # noqa: E731
         names = ("mu_mean", "mu_lnvar")
     elif ns.model == "vmf":
         model = VMFVAE(data_dim=D, covar_dim=1, latent=ns.mean_latent,
                        encoding=tuple(ns.encoding),
                        decoding=tuple(ns.decoding), do_relu=ns.do_relu)
-        encode = jax.jit(lambda p, x: model.encode(p, x))
+        batch_fn = lambda p, x: model.encode(p, x)  # noqa: E731
         names = ("latent_mean", "latent_lnvar")
     elif ns.model == "vmfnb":
         model = VMFNBVAE(data_dim=D,
@@ -93,7 +99,7 @@ def main(argv=None) -> int:
                          overdisp_encoding=ns.overdisp_encoding,
                          overdisp_latent=ns.overdisp_latent,
                          do_relu=ns.do_relu)
-        encode = jax.jit(lambda p, x: model.shared_encode_mu(p, x))
+        batch_fn = lambda p, x: model.shared_encode_mu(p, x)  # noqa: E731
         names = ("mu_mean", "mu_lnvar")
     else:  # labeled mixture: also writes .clust.gz
         from ..data.annotation import Annotation
@@ -120,12 +126,11 @@ def main(argv=None) -> int:
         # deterministic seed key (vmfnb_mixture.hh:680-696, 741-795)
         _rkey = jax.random.PRNGKey(ns.seed)
 
-        def _enc(p, x):
+        def batch_fn(p, x):
             vmf = model.vmf_forward(p, x, _rkey, False)
-            return model.nb_encode_mu(p, x, vmf.latent), vmf.latent
+            mean, lnvar = model.nb_encode_mu(p, x, vmf.latent)
+            return mean, lnvar, vmf.latent
 
-        encode_with_clust = jax.jit(_enc)
-        encode = None  # the batch loop always uses encode_with_clust here
         names = ("mu_mean", "mu_lnvar")
 
     params_tmpl = model.init(jax.random.PRNGKey(0))
@@ -133,29 +138,40 @@ def main(argv=None) -> int:
     params, _, epoch, _ = load_checkpoint(ns.checkpoint, params_tmpl)
     TLOG(f"Loaded checkpoint at epoch {epoch - 1}")
 
+    # Chunked sweep: ``chunk_batches`` batches ride ONE jitted
+    # ``lax.map`` dispatch and ONE device->host fetch.  Per-batch
+    # results are identical to the one-dispatch-per-batch loop (the map
+    # body is the same per-batch graph; the mixture's frozen Gumbel key
+    # is per batch either way) while the host<->device round-trip count
+    # drops by the chunk factor — the loop is RTT-bound on tunneled
+    # devices (~27 ms each way here).
+    run_chunk = jax.jit(
+        lambda p, xs: jax.lax.map(lambda x: batch_fn(p, x), xs))
+    batches = sequential_batches(N, ns.batch_size)
+    chunk = max(1, ns.chunk_batches)
     mean_out = None
     lnvar_out = None
     clust_out = None
-    for batch in sequential_batches(N, ns.batch_size):
-        db.clear()
-        x = db.read(batch)
-        clust = None
-        if ns.model == "mixture":
-            (mean, lnvar), clust = encode_with_clust(params, x)
-        else:
-            mean, lnvar = encode(params, x)
-        mean, lnvar = np.asarray(mean), np.asarray(lnvar)
+    for i in range(0, len(batches), chunk):
+        grp = batches[i:i + chunk]
+        xs = np.empty((len(grp), ns.batch_size, D), np.float32)
+        for j, batch in enumerate(grp):
+            db.clear()
+            xs[j] = db.read(batch)
+        outs = [np.asarray(o) for o in run_chunk(params, xs)]
+        mean, lnvar = outs[0], outs[1]
         if mean_out is None:
-            mean_out = np.zeros((N, mean.shape[1]), np.float32)
-            lnvar_out = np.zeros((N, lnvar.shape[1]), np.float32)
-        ok = batch < N
-        mean_out[batch[ok]] = mean[ok]
-        lnvar_out[batch[ok]] = lnvar[ok]
-        if clust is not None:
-            clust = np.asarray(clust)
-            if clust_out is None:
-                clust_out = np.zeros((N, clust.shape[1]), np.float32)
-            clust_out[batch[ok]] = clust[ok]
+            mean_out = np.zeros((N, mean.shape[2]), np.float32)
+            lnvar_out = np.zeros((N, lnvar.shape[2]), np.float32)
+            if len(outs) == 3:
+                clust_out = np.zeros((N, outs[2].shape[2]), np.float32)
+        for j, batch in enumerate(grp):
+            # sequential_batches wraps modulo N, so every index is valid;
+            # wrapped duplicates rewrite identical rows.
+            mean_out[batch] = mean[j]
+            lnvar_out[batch] = lnvar[j]
+            if clust_out is not None:
+                clust_out[batch] = outs[2][j]
 
     write_data_file(f"{ns.out}.{names[0]}.gz", mean_out)
     write_data_file(f"{ns.out}.{names[1]}.gz", lnvar_out)

@@ -431,6 +431,18 @@ def test_encode_mixture_and_tp_checkpoints(train_mtx, tmp_path):
     assert np.array_equal(np.sort(clust, axis=1),
                           np.tile([0.0, 1.0], (80, 1)))  # one-hot
 
+    # chunked dispatch must not perturb the frozen per-batch Gumbel
+    # draws: one-dispatch-per-batch reproduces the same assignments
+    r = _run_cli("mmvae_tpu.cli.encode", [
+        "--model", "mixture", "--mtx", train_mtx,
+        "--checkpoint", ckpt, "--out", str(tmp_path / "menc1"),
+        "--batch_size", "40", "--row", rows, "--annot", annot,
+        "--chunk_batches", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert np.array_equal(
+        clust, read_data_file(str(tmp_path / "menc1.clust.gz")))
+
     # TP checkpoint (clipless optimizer chain) -> params-only encode
     ckpt2 = str(tmp_path / "tp_ckpt")
     env = dict(os.environ)
@@ -454,6 +466,33 @@ def test_encode_mixture_and_tp_checkpoints(train_mtx, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     enc = read_data_file(str(tmp_path / "tenc.mu_mean.gz"))
     assert enc.shape == (80, 2) and np.isfinite(enc).all()
+
+
+def test_encode_chunk_invariance(train_mtx, tmp_path):
+    """--chunk_batches only changes dispatch grouping: outputs are
+    identical for any chunk size, including a ragged tail chunk."""
+    from mmvae_tpu.io.writers import read_data_file
+
+    ckpt = str(tmp_path / "ckpt")
+    r = _run_cli("mmvae_tpu.cli.nb_vae", [
+        "--mtx", train_mtx, "--out", str(tmp_path / "t"),
+        "--max_epoch", "1", "--batch_size", "40",
+        "--checkpoint_dir", ckpt,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    outs = {}
+    for chunk in (1, 4):  # batch 8 over N=80: 10 batches -> 4+4+2 tail
+        out = str(tmp_path / f"enc{chunk}")
+        r = _run_cli("mmvae_tpu.cli.encode", [
+            "--model", "nb", "--mtx", train_mtx, "--checkpoint", ckpt,
+            "--out", out, "--batch_size", "8",
+            "--chunk_batches", str(chunk),
+        ])
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[chunk] = (read_data_file(out + ".mu_mean.gz"),
+                       read_data_file(out + ".mu_lnvar.gz"))
+    assert np.array_equal(outs[1][0], outs[4][0])
+    assert np.array_equal(outs[1][1], outs[4][1])
 
 
 def test_pretty_print_handles_array_fields():
