@@ -487,9 +487,18 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
         nupre = _compute_nupre(wt, zn_ref, R, C, Rn)
         if nu_exp:
             sp = jnp.exp(nupre)
+            sig = None
             nu = jnp.clip(sp, 0.0, NU_HI) + EPS
         else:
-            sp = jax.nn.softplus(nupre)
+            # softplus AND the sigmoid the backward needs share ONE
+            # exp(-|z|) (softplus(z) = max(z,0) + log1p(e) bitwise ==
+            # jax.nn.softplus; sigmoid via the stable two-branch form):
+            # this kernel is VPU-transcendental-bound, so one saved exp
+            # per element is real time
+            e = jnp.exp(-jnp.abs(nupre))
+            r = 1.0 / (1.0 + e)
+            sp = jnp.maximum(nupre, 0.0) + jnp.log1p(e)
+            sig = jnp.where(nupre >= 0.0, r, e * r)
             nu = jnp.clip(sp, NU_LO, NU_HI) + EPS
 
         # lgamma/digamma differences: exact select-products when all
@@ -521,28 +530,30 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
                     lg_ref[:] = _lgamma_pos(nu) - _lgamma_pos(nu + x)
                 dg_ref[:] = _digamma_pos(nu) - _digamma_pos(nu + x)
 
-        denom = jnp.log(mu + nu)
-        lnu = jnp.log(nu)
+        inv_mn = 1.0 / (mu + nu)
         if need_value:
+            denom = jnp.log(mu + nu)
+            dln = denom - jnp.log(nu)
             terms = (
                 lg_ref[:]
                 + x * (denom - jnp.log(mu))
-                + nu * (denom - lnu)
+                + nu * dln
             )
             acc_ref[0, 0] += jnp.sum(jnp.where(valid, terms, 0.0))
+        else:
+            # grad-only: log(mu+nu) and log(nu) appear ONLY as their
+            # difference — one log of the ratio replaces both
+            dln = -jnp.log(nu * inv_mn)
 
-        inv_mn = 1.0 / (mu + nu)
         dmu = jnp.where(valid, x * (inv_mn - 1.0 / mu) + nu * inv_mn, 0.0)
         dls = dmu * pe * depth
-        dnu = dg_ref[:] + (x + nu) * inv_mn + denom - lnu - 1.0
+        dnu = dg_ref[:] + (x + nu) * inv_mn + dln - 1.0
         if nu_exp:
             # nu = clamp(exp(npre), 0, NU_HI): lower clamp never binds
             dnupre = jnp.where(valid & (sp < NU_HI), dnu * sp, 0.0)
         else:
             in_range = (sp > NU_LO) & (sp < NU_HI)
-            dnupre = jnp.where(
-                valid & in_range, dnu * jax.nn.sigmoid(nupre), 0.0
-            )
+            dnupre = jnp.where(valid & in_range, dnu * sig, 0.0)
 
         # per-row accumulators (dls/dnupre @ weight-rows ride the MXU)
         rs_acc[:] += jnp.sum(dls, axis=1, keepdims=True)
