@@ -494,11 +494,11 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
             # exp(-|z|) (softplus(z) = max(z,0) + log1p(e) bitwise ==
             # jax.nn.softplus; sigmoid via the stable two-branch form):
             # this kernel is VPU-transcendental-bound, so one saved exp
-            # per element is real time
+            # per element is real time.  The 1/(1+e) reciprocal is
+            # deferred into the shared divide below.
             e = jnp.exp(-jnp.abs(nupre))
-            r = 1.0 / (1.0 + e)
             sp = jnp.maximum(nupre, 0.0) + jnp.log1p(e)
-            sig = jnp.where(nupre >= 0.0, r, e * r)
+            sig = None  # built from the fused reciprocal below
             nu = jnp.clip(sp, NU_LO, NU_HI) + EPS
 
         # lgamma/digamma differences: exact select-products when all
@@ -530,9 +530,27 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
                     lg_ref[:] = _lgamma_pos(nu) - _lgamma_pos(nu + x)
                 dg_ref[:] = _digamma_pos(nu) - _digamma_pos(nu + x)
 
-        inv_mn = 1.0 / (mu + nu)
+        # ONE divide serves every reciprocal the gradient needs:
+        # 1/(mu+nu), 1/mu and (softplus path) the sigmoid's 1/(1+e) all
+        # come from rec = 1/(u*mu*(mu+nu)) with u = 1+e (VPU divides are
+        # the costly op here; u <= 2 and mu*(mu+nu) <= ~2e8 keep the
+        # product far from f32 overflow).  A few ulp different from the
+        # direct divides — inside the golden ELBO band
+        # (BASELINE_MEASURED.md).
+        mn = mu + nu
+        v = mu * mn
+        if not nu_exp:
+            u = 1.0 + e
+            rec = 1.0 / (u * v)
+            r = rec * v
+            sig = jnp.where(nupre >= 0.0, r, e * r)
+            rec = rec * u
+        else:
+            rec = 1.0 / v
+        inv_mn = rec * mu
+        inv_mu = rec * mn
         if need_value:
-            denom = jnp.log(mu + nu)
+            denom = jnp.log(mn)
             dln = denom - jnp.log(nu)
             terms = (
                 lg_ref[:]
@@ -545,7 +563,7 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
             # difference — one log of the ratio replaces both
             dln = -jnp.log(nu * inv_mn)
 
-        dmu = jnp.where(valid, x * (inv_mn - 1.0 / mu) + nu * inv_mn, 0.0)
+        dmu = jnp.where(valid, x * (inv_mn - inv_mu) + nu * inv_mn, 0.0)
         dls = dmu * pe * depth
         dnu = dg_ref[:] + (x + nu) * inv_mn + dln - 1.0
         if nu_exp:
