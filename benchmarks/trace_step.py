@@ -32,7 +32,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
-def build(kind: str, D: int, S: int, B: int):
+def build(kind: str, D: int, S: int):
     from mmvae_tpu.train.config import TrainingOptions
     from mmvae_tpu.train.loop import Trainer
 
@@ -82,10 +82,12 @@ def build(kind: str, D: int, S: int, B: int):
 
 def main():
     kind = sys.argv[1] if len(sys.argv) > 1 else "joint"
+    if kind not in ("nb", "joint", "mixture"):
+        sys.exit(f"unknown model kind {kind!r}: nb | joint | mixture")
     D = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
     S = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     B = 100
-    model, trainer, params = build(kind, D, S, B)
+    model, trainer, params = build(kind, D, S)
     opt_state = trainer.optimizer.init(params)
 
     ntot = S * B
@@ -105,14 +107,15 @@ def main():
         params, opt_state, rep = runner(params, opt_state, it)
     np.asarray(rep)
 
+    from mmvae_tpu.utils.profiling import trace
+
     out_dir = f"/tmp/trace_{kind}"
-    jax.profiler.start_trace(out_dir)
-    t0 = time.perf_counter()
-    for it in range(2):
-        params, opt_state, rep = runner(params, opt_state, 3 + it)
-    np.asarray(rep)
-    dt = time.perf_counter() - t0
-    jax.profiler.stop_trace()
+    with trace(out_dir):
+        t0 = time.perf_counter()
+        for it in range(2):
+            params, opt_state, rep = runner(params, opt_state, 3 + it)
+        np.asarray(rep)
+        dt = time.perf_counter() - t0
     print(f"2 epochs in {dt:.3f}s -> {2 * ntot / dt:.0f} cells/sec")
     summarize(out_dir, nbatch=2 * S)
 

@@ -154,10 +154,17 @@ def main(argv=None) -> int:
     clust_out = None
     for i in range(0, len(batches), chunk):
         grp = batches[i:i + chunk]
-        xs = np.empty((len(grp), ns.batch_size, D), np.float32)
+        # keep ONE compiled shape: a ragged final group would otherwise
+        # trigger a second full XLA compile of the map sweep (slow over
+        # the remote-compile tunnel) — pad with the last batch's rows;
+        # the write-back loop below only consumes len(grp) slots
+        width = chunk if i > 0 else len(grp)
+        xs = np.empty((width, ns.batch_size, D), np.float32)
         for j, batch in enumerate(grp):
             db.clear()
             xs[j] = db.read(batch)
+        for j in range(len(grp), width):
+            xs[j] = xs[len(grp) - 1]
         outs = [np.asarray(o) for o in run_chunk(params, xs)]
         mean, lnvar = outs[0], outs[1]
         if mean_out is None:
