@@ -102,13 +102,17 @@ def main() -> None:
     import types
 
     ntot = S * B
+    # liveness probe FIRST, as a tiny op: the real data-gen compile can
+    # legitimately take minutes over a degraded tunnel with a cold
+    # compile cache — the watchdog should only catch a DEAD tunnel
+    np.asarray(jnp.ones((1,)))
+    _device_ready.set()
     data_dense = jax.jit(
         lambda k: jax.random.poisson(k, 0.5, shape=(ntot, D)).astype(
             jnp.int16
         )
     )(jax.random.PRNGKey(42))
-    np.asarray(data_dense[:1, :1])  # force device contact
-    _device_ready.set()
+    np.asarray(data_dense[:1, :1])  # force materialization
     # rebind through the relayout HERE so the column-major original is
     # freed — relayouting inside the trainer while this frame still
     # held the source would keep both 1 GB copies resident all run

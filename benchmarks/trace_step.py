@@ -22,10 +22,13 @@ from collections import defaultdict
 
 import numpy as np
 
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
+
 import jax
 
-_cache = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
+_cache = os.path.join(_repo, ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -52,15 +55,19 @@ def build(kind: str, D: int, S: int):
             fast_step=NBFastStep(model, topt),
         )
     else:
-        from mmvae_tpu.ops.losses import vmfnb_composite_loss
-
         if kind == "joint":
-            from mmvae_tpu.models.vmfnb import VMFNBVAE
+            from mmvae_tpu.models.vmfnb import (
+                VMFNBVAE,
+                vmfnb_composite_loss as loss,
+            )
             from mmvae_tpu.ops.vmfnb_fast import VMFNBFastStep as FS
 
             model = VMFNBVAE(data_dim=D, mean_latent=2)
         else:
-            from mmvae_tpu.models.vmfnb_mixture import VMFNBMixtureVAE
+            from mmvae_tpu.models.vmfnb_mixture import (
+                VMFNBMixtureVAE,
+                mixture_composite_loss as loss,
+            )
             from mmvae_tpu.ops.vmfnb_fast import (
                 VMFNBMixtureFastStep as FS,
             )
@@ -72,7 +79,7 @@ def build(kind: str, D: int, S: int):
             model = VMFNBMixtureVAE(label=label, mean_latent=2)
         trainer = Trainer(
             lambda p, x, c, k, t: model.forward(p, x, k, t),
-            lambda x, out, beta: vmfnb_composite_loss(x, out, beta),
+            lambda x, out, beta: loss(x, out, beta),
             topt,
             fast_step=FS(model, topt),
         )
