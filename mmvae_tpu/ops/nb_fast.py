@@ -14,21 +14,22 @@ semantics (include/mmvae_alg.hh:277-311) exactly:
   instead of ~60.  Elementwise optimizer math is layout-invariant, so
   trajectories are unchanged (the global-norm clip reassociates its
   sum; measured drift is in the documented golden band).
-- **Batch-hoisted encoder algebra.**  The learned standardization
+- **Factored + fused encoder algebra.**  The learned standardization
   (nb.hh:312-319) factors as ``xn @ W = L @ (W / sd) - (x_mean / sd^T W)``
-  with ``L = log1p(x)`` parameter-independent: ``L`` (and the raw-count
-  ``xf`` used by the nu/depth heads, nb.hh:444-451, 498) is materialized
-  once per batch and each boot's encoder collapses to two slim MXU
-  matmuls — no per-boot (B, D) elementwise traffic, no per-boot widening
-  of the int16 count tensor.
+  with ``L = log1p(x)`` parameter-independent, so each encoder pass is
+  two (B, D) contractions against L and the raw counts.  Both run in
+  the fused count-encoder kernel (ops/enc_kernel.py), which builds
+  L/xf IN-REGISTER from the int16 counts: per encoder pass the only
+  (B, D) HBM traffic is one read of the count tensor forward and one
+  backward — no materialized float views, no separate dot reads.
 - **Gather placement.**  Bootstrap resampling gathers the INPUT rows
   and re-encodes them (``_loss``): although ``(L[ridx] @ W) ==
   (L @ W)[ridx]`` bitwise (row-independent dots), differentiating
   through a row-gather of the head outputs makes XLA scatter-add the
   cotangents back over all B rows (~36 us/batch measured) — encoding
-  the gathered rows costs the same slim dots with a plain dense
-  backward.  Only the int16 ``x`` is gathered (half the bytes of the
-  f32 gather it replaces); the hoisted views serve the report pass.
+  the gathered rows costs the same fused contractions with a plain
+  dense backward.  Only the int16 ``x`` is gathered (half the bytes
+  of the f32 gather it replaces).
 
 The likelihood/gradient heavy lifting stays in the v2 single-pass
 Pallas kernels (ops/nb_step.py).  Valid for the reference's default
@@ -46,6 +47,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from .enc_kernel import count_encode
 from .losses import gaussian_kl, kl_weight_schedule
 from .nb_step import nb_step_boot_gradonly, nb_step_report
 
@@ -464,20 +466,28 @@ class NBFastStep(PackedFastStep):
     # ------------------------------------------------------------------
     @staticmethod
     def _views(x):
-        return _encoder_views(x)
+        # the fused count_encode op (ops/enc_kernel.py) builds the
+        # log1p/raw views in-register per contraction — nothing to hoist
+        return None
 
-    def _heads(self, q, L, xf, c):
-        """Encoder heads for ALL B rows of the batch (pre-gather).
+    def _heads(self, q, x, c):
+        """Encoder heads for the given count rows.
 
         Semantics == NBVAE.encode_mu/encode_nu + the depth head
-        (nb.hh:403-431, 444-451, 498) via the hoisted-L factorization.
+        (nb.hh:403-431, 444-451, 498) via the hoisted-L factorization;
+        the two (B, D) contractions (and their log1p/raw operand views)
+        run in the fused count-encoder kernel, which reads the int
+        counts once per pass and never materializes a (B, D) float
+        tensor (ops/enc_kernel.py; XLA fallback is bitwise the old
+        path).
         """
         P, sv = q["P"], q["sv"]
         r = self.rows
         H = self.rows.H
         sd = _softplus(P[r.ln_x_sd]) + 1e-4                # (D,)
         Wt = P[r.mu_enc_w] / sd                            # (R, D)
-        h = _data_mm(L, Wt) - P[r.x_mean] @ Wt.T           # (B, R)
+        hL, nd, _ = count_encode(x, Wt, P[r.nd_rows], None, False)
+        h = hL - P[r.x_mean] @ Wt.T                        # (B, R)
         h = h + self._sv(sv, "mu_encoding.bias")
         if self.model.do_relu:
             h = jax.nn.relu(h)
@@ -492,7 +502,6 @@ class NBFastStep(PackedFastStep):
             + self._sv(sv, "mu_representation_logvariance.bias"),
             -4.0, 4.0,
         )
-        nd = _data_mm(xf, P[r.nd_rows])                    # (B, H+1)
         nu_h = nd[:, :H] + self._sv(sv, "nu_encoding.bias")
         nu_mean = (
             nu_h @ self._sv(sv, "nu_representation_mean.weight")
@@ -548,7 +557,7 @@ class NBFastStep(PackedFastStep):
 
     def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
               boot: bool):
-        L, xf = views
+        del views
         if ridx is not None:
             # resample the INPUT rows, not the encoder outputs: the
             # forward is row-wise so heads(x[ridx]) == heads(x)[ridx]
@@ -558,8 +567,7 @@ class NBFastStep(PackedFastStep):
             # instead costs the same dots with plain dense backward
             x = jnp.take(x, ridx, axis=0)
             c = jnp.take(c, ridx, axis=0)
-            L, xf = _encoder_views(x)
-        heads = self._heads(q, L, xf, c)
+        heads = self._heads(q, x, c)
         mu_mean, mu_lnvar, nu_mean, nu_lnvar, depth = heads
         z_mu = self._reparam(eps[0], mu_mean, mu_lnvar)
         z_nu = self._reparam(eps[1], nu_mean, nu_lnvar)
