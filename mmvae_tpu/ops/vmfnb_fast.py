@@ -5,13 +5,18 @@ Applies the NB fast path's recipe (ops/nb_fast.py) to
 include/models/vmfnb.hh:241-758), whose generic step spends most of its
 time in XLA glue around the joint Pallas kernels:
 
-- **Hoisted data views.**  All three per-batch data transforms are
-  parameter-independent and computed ONCE per batch instead of once per
-  forward (4x/batch): the joint model's L2-normalized log1p counts
-  (``normalize_nb_x`` core, vmfnb.hh:601-611), the raw counts for the
-  nu/depth/kappa heads, and the vMF observation direction ``yobs``
-  (vmfnb.hh:554-560).  Bootstrap resampling gathers ROWS of these views
-  (row-wise transforms commute with row gathers bitwise).
+- **Fused in-register data views.**  Every (B, D) direction the model
+  consumes — the L2-normalized log1p counts (``normalize_nb_x`` core,
+  vmfnb.hh:601-611), the raw counts for the nu/depth/kappa heads, and
+  the vMF observation direction ``yobs`` (vmfnb.hh:554-560) — is a
+  row-scaling of ``log1p(x)`` or ``float(x)``, so all the per-forward
+  contractions plus the row-norm stats behind the scalings ride ONE
+  fused count-encoder kernel call (ops/enc_kernel.py) that builds both
+  views in-register from the narrow int counts; nothing (B, D) is ever
+  materialized.  Bootstrap resampling gathers only the int count rows
+  and re-encodes them (row-wise transforms commute with row gathers
+  bitwise; see ops/nb_fast.py on why re-encoding beats gathering
+  outputs).
 - **Gram-collapsed vMF decoder.**  The generic path materializes the
   (B, D) vMF reconstruction and L2-normalizes it only to contract it
   against ``yobs`` (vmfnb.hh:469-475, 563-566).  With a direct decoder
@@ -41,15 +46,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .enc_kernel import count_encode
 from .fastmath import fasterlog
 from .lbessel import lbessel
 from .losses import gaussian_kl, l2_normalize, uniform_kl
 from .nb_fast import (
     PackedFastStep,
-    _data_mm,
     _make_packed_optimizer,
     _softplus,
-    _use_bf16_data,
 )
 from .nb_step import (
     nb_step_boot_joint_gradonly,
@@ -245,46 +249,22 @@ class VMFNBFastStep(PackedFastStep):
     # ------------------------------------------------------------------
     # compute
     # ------------------------------------------------------------------
-    def _views(self, x):
-        """(L, xf, inv_nL, inv_nY): the log1p counts plus per-row
-        normalizer reciprocals — all parameter-independent, so one
-        computation serves the report pass and every boot (gathered by
-        row).
+    @staticmethod
+    def _views(x):
+        # the fused count_encode op (ops/enc_kernel.py) builds the
+        # log1p/raw views in-register per contraction AND emits the
+        # row-norm stats the vMF normalizers need — nothing to hoist
+        return None
 
-        Both (B, D) directions the model consumes are row-scalings of
-        the SAME array: the encoder's ``xn_core = L / |L|``
-        (vmfnb.hh:601-611) and the vMF observation
-        ``yobs = (L + eps) / |L + eps|`` (vmfnb.hh:554-560, counts are
-        non-negative so relu(x) == x), with
-        ``|L + eps|^2 = |L|^2 + 2 eps sum(L) + D eps^2``.  Storing L
-        once and applying the scalings to the slim dot OUTPUTS lets the
-        encoder and vMF contractions share one stacked MXU pass over
-        one (B, D) operand (see :meth:`_loss`).  bf16 storage on TPU is
-        value-neutral at DEFAULT dot precision (see nb_fast); the row
-        norms are computed in f32 before the rounding."""
-        xf32 = x.astype(jnp.float32)
-        L = jnp.log1p(xf32)
-        s = jnp.sum(L, axis=1)
-        ssq = jnp.sum(L * L, axis=1)
-        inv_nL = 1.0 / jnp.maximum(jnp.sqrt(ssq), 1e-12)
-        D = float(self.model.data_dim)
-        eps_y = 1e-2 / D
-        ny = jnp.sqrt(ssq + 2.0 * eps_y * s + D * eps_y * eps_y)
-        inv_nY = 1.0 / jnp.maximum(ny, 1e-12)
-        if _use_bf16_data():
-            L = L.astype(jnp.bfloat16)
-            xf32 = xf32.astype(jnp.bfloat16)
-        return L, xf32, inv_nL, inv_nY
-
-    def _heads(self, q, h_core, xf):
+    def _heads(self, q, h_core, ndk):
         """Shared mu encoder + the three raw-count heads; semantics ==
         VMFNBVAE.shared_encode_mu / nb_encode_nu / depth / kappa_head
         (vmfnb.hh:449-460, 477-486, 498, 535-538) via hoisted algebra.
-        ``h_core`` is the standardized encoder contraction computed in
-        :meth:`_loss` (shared stacked dot)."""
-        P, sv = q["P"], q["sv"]
-        r = self.rows
-        H = r.H
+        ``h_core`` is the standardized encoder contraction and ``ndk``
+        the raw-count head contraction, both computed in :meth:`_loss`
+        (one fused count_encode pass)."""
+        sv = q["sv"]
+        H = self.rows.H
         h = h_core + self._sv(sv, "nb_mu_encoding.bias")
         if self.model.do_relu:
             h = jax.nn.relu(h)  # encoder stack ReLUs its last layer
@@ -297,7 +277,6 @@ class VMFNBFastStep(PackedFastStep):
             + self._sv(sv, "nb_mu_representation_logvariance.bias"),
             -4.0, 4.0,
         )
-        ndk = _data_mm(xf, P[r.ndk_rows])                   # (B, H+2)
         # nu hidden layer is ALWAYS ReLU'd in the joint model
         # (vmfnb.hh:481 — unlike nb.hh)
         nu_h = jax.nn.relu(ndk[:, :H] + self._sv(sv, "nb_nu_encoding.bias"))
@@ -381,35 +360,42 @@ class VMFNBFastStep(PackedFastStep):
     # ------------------------------------------------------------------
     def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
               boot: bool):
-        del c  # the joint model has no covariate pathway
-        L, xf, inv_nL, inv_nY = views
+        del views, c  # no hoisted views; no covariate pathway
         if ridx is not None:
-            # row-wise transforms commute with row gathers: gathering
-            # the precomputed views is bitwise-equal to recomputing
-            # them on gathered counts, and the views carry no params
-            # (no backward through the gather)
+            # resample the INPUT rows and re-encode them: the per-row
+            # transforms and stats commute with row gathers bitwise,
+            # and only the narrow int counts are gathered (see nb_fast)
             x = jnp.take(x, ridx, axis=0)
-            L = jnp.take(L, ridx, axis=0)
-            xf = jnp.take(xf, ridx, axis=0)
-            inv_nL = jnp.take(inv_nL, ridx, axis=0)
-            inv_nY = jnp.take(inv_nY, ridx, axis=0)
         P = q["P"]
         r = self.rows
         R = r.R
-        # ONE stacked MXU pass over L serves both the standardized mu
-        # encoder (xn_core = L * inv_nL) and the vMF observation dot
-        # (yobs = (L + eps) * inv_nY): contract L once against
-        # [mu_enc/sd ; vmf decoder rows] and apply the row scalings to
-        # the slim outputs — d<yobs, v>/dv_d = (L_d + eps) * inv_nY is
-        # reproduced exactly by the eps * rowsum(vrows) correction
+        # ONE fused pass over the counts (ops/enc_kernel.py) serves the
+        # standardized mu encoder (xn_core = L * inv_nL), the vMF
+        # observation dot (yobs = (L + eps) * inv_nY), the three
+        # raw-count heads AND the row-norm stats: contract log1p(x)
+        # against [mu_enc/sd ; vmf decoder rows] and float(x) against
+        # the nu/depth/kappa rows, building both views in-register —
+        # the row scalings apply to the slim outputs, and
+        # d<yobs, v>/dv_d = (L_d + eps) * inv_nY is reproduced exactly
+        # by the eps * rowsum(vrows) correction.  Identities:
+        # |L + eps|^2 = |L|^2 + 2 eps sum(L) + D eps^2 (vmfnb.hh:554-560,
+        # 601-611; counts are non-negative so relu(x) == x).
         sd = _softplus(P[r.ln_x_sd]) + 1e-2                 # (D,)
         Wt = P[r.mu_enc_w] / sd                             # (R, D)
         vrows = P[r.vmf_rows]                               # (R+1, D)
-        out = _data_mm(L, jnp.concatenate([Wt, vrows], axis=0))
+        out, ndk, stats = count_encode(
+            x, jnp.concatenate([Wt, vrows], axis=0), P[r.ndk_rows],
+            None, True,
+        )
+        s, ssq = stats[:, 0], stats[:, 1]
+        D = float(self.model.data_dim)
+        eps_y = 1e-2 / D
+        inv_nL = 1.0 / jnp.maximum(jnp.sqrt(ssq), 1e-12)
+        ny = jnp.sqrt(ssq + 2.0 * eps_y * s + D * eps_y * eps_y)
+        inv_nY = 1.0 / jnp.maximum(ny, 1e-12)
         h_core = out[:, :R] * inv_nL[:, None] - P[r.x_mean] @ Wt.T
-        eps_y = 1e-2 / float(self.model.data_dim)
         t = (out[:, R:] + eps_y * jnp.sum(vrows, axis=1)) * inv_nY[:, None]
-        heads = self._heads(q, h_core, xf)
+        heads = self._heads(q, h_core, ndk)
         mu_mean, mu_lnvar, nu_mean, nu_lnvar, depth, kappa = heads
         z_nb = self._reparam(eps[0], mu_mean, mu_lnvar)
         z_nu = self._reparam(eps[1], nu_mean, nu_lnvar)
@@ -634,43 +620,13 @@ class VMFNBMixtureFastStep(PackedFastStep):
         return out
 
     # ------------------------------------------------------------------
-    def _views(self, x):
-        """(L, xf, inv_nL, inv_nV, inv_nY): the log1p counts plus
-        per-row normalizer reciprocals — all parameter-independent.
-
-        Every (B, D) direction the mixture consumes is a row-scaling of
-        the SAME array L, because the masked component directions
-        ``vmu`` are zero outside the annotation filter (``vmu * filt ==
-        vmu``): the encoder's ``xn_core = L / |L|``, the E-step input
-        ``xn_vmf = (L + eps) filt / |(L + eps) filt|``
-        (vmfnb_mixture.hh:673-678), and the masked loss observation
-        ``ybf = filt (L + eps') / |L + eps'|``.  Contracting L once and
-        applying the scalings (plus ``eps * rowsum(vmu)`` corrections)
-        to the slim outputs collapses the three (B, D) views and two of
-        the three (B, D) contractions (see :meth:`_loss`).  Row norms
-        are computed in f32 before the bf16 rounding:
-        ``|(L+eps)filt|^2 = sum(filt L^2) + 2 eps sum(filt L) + eps^2 dd``
-        and ``|L+eps'|^2 = |L|^2 + 2 eps' sum(L) + D eps'^2``."""
-        xf32 = x.astype(jnp.float32)
-        L = jnp.log1p(xf32)
-        s = jnp.sum(L, axis=1)
-        ssq = jnp.sum(L * L, axis=1)
-        Lf = L * self._filt
-        s_f = jnp.sum(Lf, axis=1)
-        ssq_f = jnp.sum(Lf * L, axis=1)
-        D = float(self.model.data_dim)
-        dd = float(self.model.dd)
-        eps = 1e-2 / D
-        eps_y = 1e-2 / dd
-        inv_nL = 1.0 / jnp.maximum(jnp.sqrt(ssq), 1e-12)
-        nv = jnp.sqrt(ssq_f + 2.0 * eps * s_f + eps * eps * dd)
-        inv_nV = 1.0 / jnp.maximum(nv, 1e-12)
-        ny = jnp.sqrt(ssq + 2.0 * eps_y * s + D * eps_y * eps_y)
-        inv_nY = 1.0 / jnp.maximum(ny, 1e-12)
-        if _use_bf16_data():
-            L = L.astype(jnp.bfloat16)
-            xf32 = xf32.astype(jnp.bfloat16)
-        return L, xf32, inv_nL, inv_nV, inv_nY
+    @staticmethod
+    def _views(x):
+        # the fused count_encode op (ops/enc_kernel.py) builds the
+        # log1p/raw views in-register per contraction AND emits the
+        # plain + filtered row-norm stats the mixture's three
+        # normalizers need — nothing to hoist
+        return None
 
     def _draw_batch(self, key, B: int):
         """split(key, 3) -> (gumbel, mu, nu); the Gumbel key is unused
@@ -701,30 +657,15 @@ class VMFNBMixtureFastStep(PackedFastStep):
     # ------------------------------------------------------------------
     def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
               boot: bool):
-        del c  # no covariate pathway
-        L, xf, inv_nL, inv_nV, inv_nY = views
+        del views, c  # no hoisted views; no covariate pathway
         if ridx is not None:
+            # gather the narrow int counts only and re-encode: per-row
+            # transforms and stats commute with row gathers bitwise
             x = jnp.take(x, ridx, axis=0)
-            L = jnp.take(L, ridx, axis=0)
-            xf = jnp.take(xf, ridx, axis=0)
-            inv_nL = jnp.take(inv_nL, ridx, axis=0)
-            inv_nV = jnp.take(inv_nV, ridx, axis=0)
-            inv_nY = jnp.take(inv_nY, ridx, axis=0)
         P = q["P"]
         r = self.rows
-        # ONE raw-count MXU pass serves nu encoder, depth AND kappa;
-        # kappa gates the E-step, the E-step's responsibilities mix the
-        # mu heads — same dependency order as the generic path
-        # (vmfnb_mixture.hh:562-576)
-        ndk = _data_mm(xf, P[r.ndk_rows])
         H = r.H
         sv = q["sv"]
-        ln_kappa = ndk[:, H + 1:H + 2] + self._sv(sv, "ln_kappa.bias")
-        kappa = jnp.exp(jnp.clip(
-            ln_kappa,
-            fasterlog(self.model.kappa_min),
-            fasterlog(self.model.kappa_max),
-        ))
 
         # normalized masked component directions
         # (vmfnb_mixture.hh:538-560): rows are ln_vmf_mu^T, each
@@ -737,12 +678,36 @@ class VMFNBMixtureFastStep(PackedFastStep):
         fsum = jnp.sum(vmu, axis=1)                         # (K,)
         sd = _softplus(P[r.ln_x_sd]) + 1e-2
         Wt = P[r.mu_enc_w] / sd
-        # ONE stacked pass over L serves the standardized mu encoder,
-        # the E-step contraction AND the loss contraction: both vMF
-        # dots are row-scalings of the same core product L @ vmu^T
-        # (vmu * filt == vmu), with eps * rowsum(vmu) corrections —
-        # see _views for the exact identities
-        out = _data_mm(L, jnp.concatenate([Wt, vmu], axis=0))
+        # ONE fused pass over the counts (ops/enc_kernel.py) serves the
+        # standardized mu encoder, the E-step contraction, the loss
+        # contraction, the nu/depth/kappa raw-count heads AND the
+        # plain + filtered row-norm stats: both vMF dots are
+        # row-scalings of the same core product L @ vmu^T (vmu * filt
+        # == vmu), with eps * rowsum(vmu) corrections.  Identities
+        # (vmfnb_mixture.hh:562-576, 673-678):
+        # |(L+eps)filt|^2 = sum(filt L^2) + 2 eps sum(filt L) + eps^2 dd
+        # |L+eps'|^2    = |L|^2 + 2 eps' sum(L) + D eps'^2
+        out, ndk, stats = count_encode(
+            x, jnp.concatenate([Wt, vmu], axis=0), P[r.ndk_rows],
+            self._filt, True,
+        )
+        s, ssq, s_f, ssq_f = (stats[:, 0], stats[:, 1], stats[:, 2],
+                              stats[:, 3])
+        D = float(self.model.data_dim)
+        dd = float(self.model.dd)
+        eps_f = 1e-2 / D
+        eps_y = 1e-2 / dd
+        inv_nL = 1.0 / jnp.maximum(jnp.sqrt(ssq), 1e-12)
+        nv = jnp.sqrt(ssq_f + 2.0 * eps_f * s_f + eps_f * eps_f * dd)
+        inv_nV = 1.0 / jnp.maximum(nv, 1e-12)
+        ny = jnp.sqrt(ssq + 2.0 * eps_y * s + D * eps_y * eps_y)
+        inv_nY = 1.0 / jnp.maximum(ny, 1e-12)
+        ln_kappa = ndk[:, H + 1:H + 2] + self._sv(sv, "ln_kappa.bias")
+        kappa = jnp.exp(jnp.clip(
+            ln_kappa,
+            fasterlog(self.model.kappa_min),
+            fasterlog(self.model.kappa_max),
+        ))
         R = r.R
         core = out[:, R:]                                   # (B, K)
         t_estep = (core + eps_mu * fsum) * inv_nV[:, None]
@@ -802,11 +767,9 @@ class VMFNBMixtureFastStep(PackedFastStep):
         # filt and the loss needs only <yobs, recon> =
         # sum(latent * (ybf @ mu^T), 1)  (vmfnb_mixture.hh:610-629);
         # ybf @ mu^T reuses the shared core product with the yobs
-        # row-scaling (see _views)
-        eps_y = 1e-2 / float(self.model.dd)
+        # row-scaling (identities above)
         t = (core + eps_y * fsum) * inv_nY[:, None]          # (B, K)
         dot = jnp.sum(latent * t, axis=1)
-        dd = float(self.model.dd)
         df = max(0.5 * dd - 1.0, 0.0)
         k = kappa[:, 0]
         llik = dot * k

@@ -182,3 +182,61 @@ def test_mixture_fast_matches_generic_trajectory(dtype):
         np.testing.assert_allclose(np.asarray(other), np.asarray(leaf),
                                    rtol=3e-3, atol=1e-4,
                                    err_msg=str(path))
+
+
+# ----------------------------------------------------------------------
+# fused count-encoder wiring: kernel path (interpret mode) vs the
+# bitwise XLA fallback the CPU trajectory tests above exercise
+# ----------------------------------------------------------------------
+
+def _loss_and_bootgrad(fast, q, x, rand, n_eps):
+    import jax.numpy as jnp
+
+    xj = jnp.asarray(x)
+    views = fast._views(xj)
+    report = fast._loss(q, views, xj, None, None, rand["rep_eps"],
+                        0.5, True, False)
+    grads = jax.grad(
+        lambda qq: fast._loss(
+            qq, views, xj, None, rand["ridx"][0],
+            tuple(e[0] for e in rand["boot_eps"]), 0.5, False, True,
+        )
+    )(q)
+    return np.asarray(report), jax.tree_util.tree_map(np.asarray, grads)
+
+
+def _assert_kernel_matches_fallback(fast, monkeypatch, n_eps):
+    import mmvae_tpu.ops.enc_kernel as ek
+
+    params = fast.model.init(jax.random.PRNGKey(0))
+    q = fast.pack(params)
+    x, _ = _mk_data(S=1, B=8, D=640)
+    rand = fast._draw_batch(jax.random.PRNGKey(7), 8)
+
+    base = _loss_and_bootgrad(fast, q, x[0], rand, n_eps)
+    monkeypatch.setattr(ek, "_INTERPRET", True)
+    kern = _loss_and_bootgrad(fast, q, x[0], rand, n_eps)
+
+    # tile-accumulated dots/stats reassociate vs the whole-array fallback
+    np.testing.assert_allclose(kern[0], base[0], rtol=1e-5)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(base[1]):
+        other = dict(jax.tree_util.tree_leaves_with_path(kern[1]))[path]
+        np.testing.assert_allclose(other, leaf, rtol=1e-4, atol=1e-6,
+                                   err_msg=str(path))
+
+
+def test_joint_fast_kernel_matches_fallback(monkeypatch):
+    model = VMFNBVAE(data_dim=640, mean_latent=2)
+    topt = TrainingOptions(nboot=2, superbatch=1, seed=0)
+    _assert_kernel_matches_fallback(
+        VMFNBFastStep(model, topt), monkeypatch, n_eps=3)
+
+
+def test_mixture_fast_kernel_matches_fallback(monkeypatch):
+    from mmvae_tpu.models.vmfnb_mixture import VMFNBMixtureVAE
+    from mmvae_tpu.ops.vmfnb_fast import VMFNBMixtureFastStep
+
+    model = VMFNBMixtureVAE(label=_mk_label(), mean_latent=2)
+    topt = TrainingOptions(nboot=2, superbatch=1, seed=0)
+    _assert_kernel_matches_fallback(
+        VMFNBMixtureFastStep(model, topt), monkeypatch, n_eps=2)
