@@ -36,6 +36,16 @@ from .common import (
 _MODEL_DESC = "Joint von Mises-Fisher + Negative Binomial VAE"
 
 
+def resolve_kappa_defaults(kmin, kmax, mixture):
+    """Reference ctor defaults differ by mode: joint = .1/10.
+    (vmfnb.hh:76-77), mixture = .1/100. (vmfnb_mixture.hh:74-75)."""
+    if kmin is None:
+        kmin = 0.1
+    if kmax is None:
+        kmax = 100.0 if mixture else 10.0
+    return kmin, kmax
+
+
 def _model_args(g) -> None:
     """Reference flags: vmfnb.hh:93-235 (adds --vmf_decoding)."""
     g.add_argument("--mean_encoding", "--mean-encoding", type=_csv_ints,
@@ -51,8 +61,10 @@ def _model_args(g) -> None:
     g.add_argument("--overdisp_latent", "--overdispersion_latent",
                    "--overdispersion-latent", dest="overdisp_latent",
                    type=int, default=1)
-    g.add_argument("--kappa_min", "--kappa-min", type=float, default=1.0)
-    g.add_argument("--kappa_max", "--kappa-max", type=float, default=100.0)
+    # reference defaults differ by mode (vmfnb.hh:76-77 joint = .1/10.,
+    # vmfnb_mixture.hh:74-75 mixture = .1/100.); None = pick per mode
+    g.add_argument("--kappa_min", "--kappa-min", type=float, default=None)
+    g.add_argument("--kappa_max", "--kappa-max", type=float, default=None)
     add_relu_flags(g)
 
 
@@ -71,6 +83,10 @@ def main(argv=None) -> int:
 
     mixture = bool(opts.annot)
     TLOG("Constructing a model" + (" (labeled mixture)" if mixture else ""))
+
+    ns.kappa_min, ns.kappa_max = resolve_kappa_defaults(
+        ns.kappa_min, ns.kappa_max, mixture
+    )
 
     if mixture:
         if not opts.row:

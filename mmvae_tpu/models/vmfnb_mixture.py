@@ -72,7 +72,7 @@ class VMFNBMixtureVAE:
     mean_latent: int = 2
     overdisp_encoding: int = 1
     overdisp_latent: int = 1
-    kappa_min: float = 1.0
+    kappa_min: float = 0.1
     kappa_max: float = 100.0
     do_relu: bool = False
     nu_max: float = 1e4

@@ -11,7 +11,13 @@ import numpy as np
 import jax
 
 from mmvae_tpu.models.nb import NBVAE
-from mmvae_tpu.ops.losses import nb_loss
+from mmvae_tpu.models.vmf import VMFVAE
+from mmvae_tpu.models.vmfnb import VMFNBVAE, vmfnb_composite_loss
+from mmvae_tpu.models.vmfnb_mixture import (
+    VMFNBMixtureVAE,
+    mixture_composite_loss,
+)
+from mmvae_tpu.ops.losses import nb_loss, vmf_loss
 from mmvae_tpu.train.config import TrainingOptions
 from mmvae_tpu.train.loop import Trainer
 from tests.conftest import make_count_matrix
@@ -20,26 +26,81 @@ from tests.conftest import make_count_matrix
 # compiler-version reassociation, tight enough to catch semantic drift
 GOLDEN = [148.8197, 135.7637, 126.3333, 116.5262]
 
+# round-4 additions (verdict item 4): pinned 4-epoch trajectories for
+# the other three model families, generated the same way on the same
+# backend, cross-checked against the torch oracles
+# (tests/test_torch_parity*.py) at epoch 0
+GOLDEN_VMF = [-15.0425, -15.3205, -15.5227, -15.6705]
+GOLDEN_VMFNB = [100.8582, 92.3707, 86.1606, 79.8281]
+GOLDEN_MIXTURE = [100.5713, 92.0983, 85.1289, 80.1138]
 
-def test_fixed_seed_trajectory():
-    rng = np.random.default_rng(42)
-    rr, cc, vv, dens = make_count_matrix(rng, 40, 120)
+
+def _superbatch(rng_seed=42, D=40, N=120, B=24, S=5):
+    rng = np.random.default_rng(rng_seed)
+    rr, cc, vv, dens = make_count_matrix(rng, D, N)
     x_all = dens.T
-    B = 24
-    batches = np.stack([(np.arange(B) + b * B) % 120 for b in range(5)])
+    batches = np.stack([(np.arange(B) + b * B) % N for b in range(S)])
     x_sb = np.stack([x_all[b] for b in batches]).astype(np.float32)
-    c_sb = np.ones((5, B, 1), np.float32)
+    c_sb = np.ones((S, B, 1), np.float32)
+    return x_sb, c_sb
 
-    model = NBVAE(data_dim=40, covar_dim=1)
-    params = model.init(jax.random.PRNGKey(0))
-    topt = TrainingOptions(nboot=3, superbatch=5, seed=0)
-    tr = Trainer(
-        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
-        lambda x, o, b: nb_loss(x, o, b), topt,
-    )
+
+def _run4(model_forward, loss_fn, params, x_sb, c_sb):
+    topt = TrainingOptions(nboot=3, superbatch=x_sb.shape[0], seed=0)
+    tr = Trainer(model_forward, loss_fn, topt)
     s = tr.optimizer.init(params)
     losses = []
     for epoch in range(4):
-        params, s, rep = tr.step(params, s, x_sb, c_sb, epoch, np.arange(5))
+        params, s, rep = tr.step(params, s, x_sb, c_sb, epoch,
+                                 np.arange(x_sb.shape[0]))
         losses.append(float(np.asarray(rep).mean()))
+    return losses
+
+
+def test_fixed_seed_trajectory():
+    x_sb, c_sb = _superbatch()
+    model = NBVAE(data_dim=40, covar_dim=1)
+    params = model.init(jax.random.PRNGKey(0))
+    losses = _run4(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        lambda x, o, b: nb_loss(x, o, b), params, x_sb, c_sb,
+    )
     np.testing.assert_allclose(losses, GOLDEN, rtol=1e-3)
+
+
+def test_fixed_seed_trajectory_vmf():
+    x_sb, c_sb = _superbatch()
+    model = VMFVAE(data_dim=40, covar_dim=1)
+    params = model.init(jax.random.PRNGKey(0))
+    losses = _run4(
+        lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+        lambda x, o, b: vmf_loss(x, o, b), params, x_sb, c_sb,
+    )
+    np.testing.assert_allclose(losses, GOLDEN_VMF, rtol=1e-3)
+
+
+def test_fixed_seed_trajectory_vmfnb():
+    x_sb, c_sb = _superbatch()
+    model = VMFNBVAE(data_dim=40)
+    params = model.init(jax.random.PRNGKey(0))
+    losses = _run4(
+        lambda p, x, c, k, t: model.forward(p, x, k, t),
+        lambda x, o, b: vmfnb_composite_loss(x, o, b), params, x_sb, c_sb,
+    )
+    np.testing.assert_allclose(losses, GOLDEN_VMFNB, rtol=1e-3)
+
+
+def test_fixed_seed_trajectory_mixture():
+    x_sb, c_sb = _superbatch()
+    rng = np.random.default_rng(7)
+    K = 3
+    L = np.zeros((40, K), np.float32)
+    L[np.arange(40), rng.integers(0, K, 40)] = 1.0
+    model = VMFNBMixtureVAE(label=L)
+    params = model.init(jax.random.PRNGKey(0))
+    losses = _run4(
+        lambda p, x, c, k, t: model.forward(p, x, k, t),
+        lambda x, o, b: mixture_composite_loss(x, o, b, model.dd),
+        params, x_sb, c_sb,
+    )
+    np.testing.assert_allclose(losses, GOLDEN_MIXTURE, rtol=1e-3)

