@@ -342,11 +342,17 @@ def _lse_call(zm, c, W, bp: int, Dp: int, td: int, D: int, R: int, C: int):
 
 def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
                        x_is_int: bool, has_pb: bool = False,
-                       nu_exp: bool = False):
+                       nu_exp: bool = False, with_flags: bool = False):
     pbi = R + C + 2 + Rn  # stacked row of the post-softmax log-bias
 
-    def kernel(x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
-               nll_ref, acc_ref, lg_ref):
+    def kernel(*refs):
+        if with_flags:
+            (flag_ref, x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
+             nll_ref, acc_ref, lg_ref) = refs
+        else:
+            (x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
+             nll_ref, acc_ref, lg_ref) = refs
+            flag_ref = None
         j = pl.program_id(0)
         nj = pl.num_programs(0)
 
@@ -369,8 +375,13 @@ def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
         else:
             nu = jnp.clip(jax.nn.softplus(nupre), NU_LO, NU_HI) + EPS
 
-        fast = _fast_flag(x, valid, x_is_int) > 0.5
-        allint = True if x_is_int else (_int_flag(x, valid) > 0.5)
+        if flag_ref is not None:
+            fl = flag_ref[0, j]
+            fast = fl > 1.5
+            allint = True if x_is_int else (fl > 0.5)
+        else:
+            fast = _fast_flag(x, valid, x_is_int) > 0.5
+            allint = True if x_is_int else (_int_flag(x, valid) > 0.5)
 
         @pl.when(fast)
         def _():
@@ -411,7 +422,7 @@ def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
 
 
 def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
-                has_pb=False, nu_exp=False):
+                has_pb=False, nu_exp=False, flags=None):
     bp, Dp = x.shape
     td = _tile_for(bp)
     nj = Dp // td
@@ -419,20 +430,30 @@ def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
     R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
     x_is_int = jnp.issubdtype(x.dtype, jnp.integer)
     kernel = _make_value_kernel(R, C, Rn, td, D, B, bp, with_const,
-                                x_is_int, has_pb, nu_exp)
+                                x_is_int, has_pb, nu_exp,
+                                with_flags=flags is not None)
     zc = jnp.concatenate([zm, c], axis=1)
+    in_specs = [
+        pl.BlockSpec((bp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bp, R + C), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [x, zc, zn, depth, lse, W]
+    if flags is not None:
+        # whole flag row as ONE scalar-memory block; the kernel indexes
+        # it by the grid step (per-step (1,1) SMEM blocks are rejected
+        # by Mosaic's block-shape rules on real TPUs)
+        in_specs.insert(0, pl.BlockSpec(
+            flags.shape, lambda j: (0, 0), memory_space=pltpu.SMEM))
+        args.insert(0, flags)
     nll = pl.pallas_call(
         kernel,
         grid=(nj,),
-        in_specs=[
-            pl.BlockSpec((bp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, R + C), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1), lambda j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -441,7 +462,7 @@ def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
             pltpu.VMEM((bp, td), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(x, zc, zn, depth, lse, W)
+    )(*args)
     return nll[0, 0]
 
 
@@ -451,13 +472,20 @@ def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
 
 def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
                          has_pb: bool = False, nu_exp: bool = False,
-                         need_value: bool = True):
+                         need_value: bool = True, with_flags: bool = False):
     base = R + C + 1  # rows: wd | wc | bias2 | wn | bias_n | [pb]
     pbi = base + Rn + 1
 
-    def kernel(x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
-               nll_ref, gout_ref, rsum_ref, u1_ref, dzn_ref, dd_ref,
-               acc_ref, rs_acc, u1_acc, dzn_acc, dd_acc, lg_ref, dg_ref):
+    def kernel(*refs):
+        if with_flags:
+            (flag_ref, x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
+             nll_ref, gout_ref, rsum_ref, u1_ref, dzn_ref,
+             acc_ref, rs_acc, u1_acc, dzn_acc, lg_ref, dg_ref) = refs
+        else:
+            (x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
+             nll_ref, gout_ref, rsum_ref, u1_ref, dzn_ref,
+             acc_ref, rs_acc, u1_acc, dzn_acc, lg_ref, dg_ref) = refs
+            flag_ref = None
         j = pl.program_id(0)
         nj = pl.num_programs(0)
 
@@ -467,7 +495,6 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
             rs_acc[:] = jnp.zeros_like(rs_acc)
             u1_acc[:] = jnp.zeros_like(u1_acc)
             dzn_acc[:] = jnp.zeros_like(dzn_acc)
-            dd_acc[:] = jnp.zeros_like(dd_acc)
 
         wt = w_ref[:]
         valid = _col_valid(j, td, D, B, bp)
@@ -504,9 +531,18 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
         # lgamma/digamma differences: exact select-products when all
         # counts in the tile are small integers, the mixed product/
         # Stirling path for all-integer tiles of any magnitude, and the
-        # full Stirling-shift path only for non-integer data
-        fast = _fast_flag(x, valid, x_is_int) > 0.5
-        allint = True if x_is_int else (_int_flag(x, valid) > 0.5)
+        # full Stirling-shift path only for non-integer data.  With
+        # precomputed per-tile flags (2 = fast, 1 = all-int, 0 = slow —
+        # see nb_step_tile_flags) the in-kernel flag reductions are
+        # skipped; for integer counts the branches agree bitwise, so a
+        # conservative full-batch flag on resampled rows is exact.
+        if flag_ref is not None:
+            fl = flag_ref[0, j]
+            fast = fl > 1.5
+            allint = True if x_is_int else (fl > 0.5)
+        else:
+            fast = _fast_flag(x, valid, x_is_int) > 0.5
+            allint = True if x_is_int else (_int_flag(x, valid) > 0.5)
 
         @pl.when(fast)
         def _():
@@ -563,9 +599,13 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
             # difference — one log of the ratio replaces both
             dln = -jnp.log(nu * inv_mn)
 
-        dmu = jnp.where(valid, x * (inv_mn - inv_mu) + nu * inv_mn, 0.0)
+        # t = (x+nu)/(mu+nu) is shared between dmu and dnu (a few-ulp
+        # reassociation of dmu vs the x*(...) + nu*(...) split — inside
+        # the golden ELBO band, BASELINE_MEASURED.md)
+        t = (x + nu) * inv_mn
+        dmu = jnp.where(valid, t - x * inv_mu, 0.0)
         dls = dmu * pe * depth
-        dnu = dg_ref[:] + (x + nu) * inv_mn + dln - 1.0
+        dnu = dg_ref[:] + t + dln - 1.0
         if nu_exp:
             # nu = clamp(exp(npre), 0, NU_HI): lower clamp never binds
             dnupre = jnp.where(valid & (sp < NU_HI), dnu * sp, 0.0)
@@ -573,9 +613,11 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
             in_range = (sp > NU_LO) & (sp < NU_HI)
             dnupre = jnp.where(valid & in_range, dnu * sig, 0.0)
 
-        # per-row accumulators (dls/dnupre @ weight-rows ride the MXU)
+        # per-row accumulators (dls/dnupre @ weight-rows ride the MXU).
+        # d(nll)/d(depth) = rowsum(dmu*pe) is NOT accumulated here: it
+        # equals rowsum(dls)/depth exactly (dls = dmu*pe*depth with a
+        # per-row depth), so the caller divides rsum once outside.
         rs_acc[:] += jnp.sum(dls, axis=1, keepdims=True)
-        dd_acc[:] += jnp.sum(dmu * pe, axis=1, keepdims=True)
         u1_acc[:] += _mm(dls, wt[:R, :], 1, 1)
         dzn_acc[:] += _mm(dnupre, wt[base:base + Rn, :], 1, 1)
 
@@ -598,13 +640,12 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
             rsum_ref[:] = rs_acc[:]
             u1_ref[:] = u1_acc[:]
             dzn_ref[:] = dzn_acc[:]
-            dd_ref[:] = dd_acc[:]
 
     return kernel
 
 
 def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
-                  nu_exp=False, need_value=True):
+                  nu_exp=False, need_value=True, flags=None):
     bp, Dp = x.shape
     td = _tile_for(bp)
     nj = Dp // td
@@ -612,27 +653,36 @@ def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
     R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
     x_is_int = jnp.issubdtype(x.dtype, jnp.integer)
     kernel = _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int,
-                                  has_pb, nu_exp, need_value)
+                                  has_pb, nu_exp, need_value,
+                                  with_flags=flags is not None)
     zc = jnp.concatenate([zm, c], axis=1)
-    nll, gout, rsum, u1, dzn, dd = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((bp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bp, R + C), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [x, zc, zn, depth, lse, W]
+    if flags is not None:
+        # whole flag row as ONE scalar-memory block; the kernel indexes
+        # it by the grid step (per-step (1,1) SMEM blocks are rejected
+        # by Mosaic's block-shape rules on real TPUs)
+        in_specs.insert(0, pl.BlockSpec(
+            flags.shape, lambda j: (0, 0), memory_space=pltpu.SMEM))
+        args.insert(0, flags)
+    nll, gout, rsum, u1, dzn = pl.pallas_call(
         kernel,
         grid=(nj,),
-        in_specs=[
-            pl.BlockSpec((bp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, R + C), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -640,20 +690,18 @@ def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
             jax.ShapeDtypeStruct((bp, 1), jnp.float32),
             jax.ShapeDtypeStruct((bp, R), jnp.float32),
             jax.ShapeDtypeStruct((bp, Rn), jnp.float32),
-            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.VMEM((bp, 1), jnp.float32),
             pltpu.VMEM((bp, R), jnp.float32),
             pltpu.VMEM((bp, Rn), jnp.float32),
-            pltpu.VMEM((bp, 1), jnp.float32),
             pltpu.VMEM((bp, td), jnp.float32),
             pltpu.VMEM((bp, td), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(x, zc, zn, depth, lse, W)
-    return nll[0, 0], gout, rsum, u1, dzn, dd
+    )(*args)
+    return nll[0, 0], gout, rsum, u1, dzn
 
 
 # ----------------------------------------------------------------------
@@ -756,13 +804,45 @@ def _combine_lse(lse_local, model_axis):
     return m + jnp.log(s)
 
 
+def nb_step_tile_flags(x):
+    """Per-tile branch flags for the step kernels, as a (1, nj) f32 row:
+    2 = every count in tile j is an integer in [0, 7] (exact
+    select-product path), 1 = all integer (mixed product/Stirling path),
+    0 = general data.
+
+    Computed ONCE per batch from the full (B, D) counts and reused by
+    the report pass and all boot passes: a bootstrap row-resample is a
+    row subset, so a full-batch flag is a conservative under-estimate,
+    and for integer counts the fast and mixed branches agree bitwise —
+    the conservative choice never changes a value.  Replaces four
+    in-kernel whole-tile flag reductions with one XLA pass over x."""
+    B, D = x.shape
+    bp = _ceil_to(B, 8)
+    td = _tile_for(bp)
+    Dp = _ceil_to(D, td)
+    nj = Dp // td
+    xf = jnp.pad(x, ((0, 0), (0, Dp - D))).astype(jnp.float32)
+    t = xf.reshape(B, nj, td)  # zero pad: compatible with every branch
+    mx = jnp.max(t, axis=(0, 2))
+    nonneg = jnp.min(t, axis=(0, 2)) >= 0.0
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        isint = jnp.ones_like(nonneg)
+    else:
+        isint = jnp.all(t == jnp.floor(t), axis=(0, 2))
+    ok = nonneg & isint
+    fast = ok & (mx <= _XMAX_FAST)
+    return jnp.where(fast, 2.0, jnp.where(ok, 1.0, 0.0)).reshape(1, nj)
+
+
 def nb_step_report(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
                    include_const: bool = True, pb=None,
-                   nu_exp: bool = False, model_axis: str | None = None):
+                   nu_exp: bool = False, model_axis: str | None = None,
+                   flags=None):
     """Reporting-pass NLL (value only).  Not differentiable — the
     reporting forward takes no grad step (reference:
     mmvae_alg.hh:277-285).  With ``model_axis`` the D-sized operands are
-    shards and the normalizer/NLL combine over the mesh axis (TP)."""
+    shards and the normalizer/NLL combine over the mesh axis (TP).
+    ``flags`` is an optional precomputed :func:`nb_step_tile_flags`."""
     if not _use_kernel(x.shape[1], x.shape[0]):
         return xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn,
                             bias_n, pb, include_const, nu_exp, model_axis)
@@ -776,7 +856,7 @@ def nb_step_report(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
         lse = _combine_lse(lse, model_axis)
     nll = _value_call(xp, zmp, cp, znp, dpp, lse, W,
                       D=dims["D"], B=dims["B"], with_const=include_const,
-                      has_pb=pb is not None, nu_exp=nu_exp)
+                      has_pb=pb is not None, nu_exp=nu_exp, flags=flags)
     if model_axis is not None:
         nll = jax.lax.psum(nll, model_axis)
     return nll
@@ -794,7 +874,7 @@ def nb_step_boot(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
 
 def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
                    nu_exp: bool, model_axis: str | None = None,
-                   need_value: bool = True):
+                   need_value: bool = True, flags=None):
     """Shared fused fwd+grad.  Returns (nll, (res, xla_vjp)) where res
     additionally carries d_pb when ``pb`` is given.
 
@@ -825,9 +905,9 @@ def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
                     _tile_for(dims["bp"]), D, R, C)
     if model_axis is not None:
         lse = _combine_lse(lse, model_axis)
-    nll, gout, rsum, u1, dzn, dd = _valgrad_call(
+    nll, gout, rsum, u1, dzn = _valgrad_call(
         xp, zmp, cp, znp, dpp, lse, W, D=D, B=B, has_pb=pb is not None,
-        nu_exp=nu_exp, need_value=need_value,
+        nu_exp=nu_exp, need_value=need_value, flags=flags,
     )
     if model_axis is not None:
         if need_value:
@@ -835,7 +915,11 @@ def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
         rsum = jax.lax.psum(rsum, model_axis)  # global before the finisher
         u1 = jax.lax.psum(u1, model_axis)
         dzn = jax.lax.psum(dzn, model_axis)
-        dd = jax.lax.psum(dd, model_axis)
+    # d(nll)/d(depth) = rowsum(dmu*pe) == rowsum(dls)/depth exactly
+    # (per-row depth factors out of the row sum); the kernel no longer
+    # accumulates it.  depth == 0 -> rsum == 0 and the true cotangent is
+    # annihilated by softplus' sigmoid upstream: guard the 0/0 only.
+    dd = rsum / jnp.maximum(dpp, 1e-30)
     fout, u2 = _finish_call(zmp, cp, lse, rsum, W, D=D)
     if model_axis is not None:
         u2 = jax.lax.psum(u2, model_axis)
@@ -975,6 +1059,31 @@ nb_step_boot_gradonly.defvjp(_boot_gradonly_fwd, _boot_bwd)
 
 
 @jax.custom_vjp
+def nb_step_boot_gradonly_flagged(flags, x, zm, c, zn, depth, wd, wc,
+                                  bias2, wn, bias_n):
+    """:func:`nb_step_boot_gradonly` with precomputed per-tile branch
+    flags (:func:`nb_step_tile_flags`) as a leading non-diff operand."""
+    nll, _ = _boot_gradonly_flagged_fwd(flags, x, zm, c, zn, depth, wd,
+                                        wc, bias2, wn, bias_n)
+    return nll
+
+
+def _boot_gradonly_flagged_fwd(flags, x, zm, c, zn, depth, wd, wc, bias2,
+                               wn, bias_n):
+    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                          None, nu_exp=False, need_value=False,
+                          flags=flags)
+
+
+def _boot_flagged_bwd(saved, g):
+    return (None,) + _boot_bwd(saved, g)
+
+
+nb_step_boot_gradonly_flagged.defvjp(_boot_gradonly_flagged_fwd,
+                                     _boot_flagged_bwd)
+
+
+@jax.custom_vjp
 def nb_step_boot_joint_gradonly(x, zm, c, zn, depth, wd, wc, bias2, wn,
                                 bias_n, pb):
     """:func:`nb_step_boot_joint` minus the primal: 0.0, same VJP."""
@@ -991,6 +1100,31 @@ def _boot_joint_gradonly_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn,
 
 nb_step_boot_joint_gradonly.defvjp(_boot_joint_gradonly_fwd,
                                    _boot_joint_bwd)
+
+
+@jax.custom_vjp
+def nb_step_boot_joint_gradonly_flagged(flags, x, zm, c, zn, depth, wd,
+                                        wc, bias2, wn, bias_n, pb):
+    """:func:`nb_step_boot_joint_gradonly` with precomputed per-tile
+    branch flags (:func:`nb_step_tile_flags`) as a leading operand."""
+    nll, _ = _boot_joint_gradonly_flagged_fwd(flags, x, zm, c, zn, depth,
+                                              wd, wc, bias2, wn, bias_n,
+                                              pb)
+    return nll
+
+
+def _boot_joint_gradonly_flagged_fwd(flags, x, zm, c, zn, depth, wd, wc,
+                                     bias2, wn, bias_n, pb):
+    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
+                          pb, nu_exp=True, need_value=False, flags=flags)
+
+
+def _boot_joint_flagged_bwd(saved, g):
+    return (None,) + _boot_joint_bwd(saved, g)
+
+
+nb_step_boot_joint_gradonly_flagged.defvjp(_boot_joint_gradonly_flagged_fwd,
+                                           _boot_joint_flagged_bwd)
 
 
 def _boot_tp_bwd(model_axis, saved, g):

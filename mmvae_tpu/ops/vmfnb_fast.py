@@ -56,7 +56,7 @@ from .nb_fast import (
     _softplus,
 )
 from .nb_step import (
-    nb_step_boot_joint_gradonly,
+    nb_step_boot_joint_gradonly_flagged,
     nb_step_report,
 )
 
@@ -138,6 +138,8 @@ class _JRows:
 
 class VMFNBFastStep(PackedFastStep):
     """Packed fast step for :class:`~mmvae_tpu.models.vmfnb.VMFNBVAE`."""
+
+    uses_tile_flags = True
 
     def __init__(self, model, opt, kl=(1.0, 1e-2, 0.1)):
         assert self.supports(model), (
@@ -359,7 +361,7 @@ class VMFNBFastStep(PackedFastStep):
 
     # ------------------------------------------------------------------
     def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
-              boot: bool):
+              boot: bool, flags=None):
         del views, c  # no hoisted views; no covariate pathway
         if ridx is not None:
             # resample the INPUT rows and re-encode them: the per-row
@@ -411,13 +413,15 @@ class VMFNBFastStep(PackedFastStep):
         cz = jnp.zeros((B, 1), jnp.float32)
         wcz = jnp.zeros((1, x.shape[1]), jnp.float32)
         if boot:
-            nll = nb_step_boot_joint_gradonly(
-                x, z_nb, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n, pb
+            nll = nb_step_boot_joint_gradonly_flagged(
+                flags, x, z_nb, cz, z_nu, depth, wd, wcz, bias2, wn,
+                bias_n, pb
             )
         else:
             nll = nb_step_report(
                 x, z_nb, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n,
                 include_const=include_const, pb=pb, nu_exp=True,
+                flags=flags,
             )
         vmf = self._vmf_nll(q, t, z_vmf, kappa)
         return (nll + vmf + beta * kl) / B
@@ -514,6 +518,8 @@ class VMFNBMixtureFastStep(PackedFastStep):
       ``sum(latent * (yobs_f @ mu^T), axis=1)`` because the recon is a
       responsibility mix of the (already unit) masked directions.
     """
+
+    uses_tile_flags = True
 
     def __init__(self, model, opt, kl=(1.0, 1e-2, 0.1)):
         assert self.supports(model), (
@@ -656,7 +662,7 @@ class VMFNBMixtureFastStep(PackedFastStep):
 
     # ------------------------------------------------------------------
     def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
-              boot: bool):
+              boot: bool, flags=None):
         del views, c  # no hoisted views; no covariate pathway
         if ridx is not None:
             # gather the narrow int counts only and re-encode: per-row
@@ -754,13 +760,15 @@ class VMFNBMixtureFastStep(PackedFastStep):
         cz = jnp.zeros((B, 1), jnp.float32)
         wcz = jnp.zeros((1, x.shape[1]), jnp.float32)
         if boot:
-            nll = nb_step_boot_joint_gradonly(
-                x, z_mu, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n, pb
+            nll = nb_step_boot_joint_gradonly_flagged(
+                flags, x, z_mu, cz, z_nu, depth, wd, wcz, bias2, wn,
+                bias_n, pb
             )
         else:
             nll = nb_step_report(
                 x, z_mu, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n,
                 include_const=include_const, pb=pb, nu_exp=True,
+                flags=flags,
             )
 
         # vMF loss without the (B, D) recon: recon = (latent @ mu^T) *

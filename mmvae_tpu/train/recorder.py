@@ -221,22 +221,21 @@ class LatentRecorder:
         if len(self._pending) > limit:
             self.flush()
 
-    def _fetch_params(self, params):
-        """Fetch the whole parameter tree in ONE device->host transfer.
+    def _stage_params(self, params):
+        """Dispatch the on-device packing of the parameter tree WITHOUT
+        any host sync, returning a staged handle for
+        :meth:`_finish_params`.
 
-        Per-leaf ``np.asarray`` costs an ~27 ms round trip each over the
-        remote-device tunnel (~0.8 s for the NB tree's 26 leaves every
-        recording epoch); concatenating the raveled leaves on device and
-        splitting on the host pays one round trip total.  Host numpy
-        leaves pass through; non-f32 DEVICE leaves are fetched per-leaf
-        so NO device reference survives this call — submit_epoch's
-        async writer relies on that (the caller's next epoch dispatch
-        donates the parameter buffers; a deferred fetch would touch
-        deleted arrays)."""
+        The jitted concatenate produces FRESH device buffers (and
+        ``jnp.copy`` does for non-f32 leaves), so no reference to the
+        caller's parameter arrays survives — the next epoch dispatch may
+        donate them while the writer thread fetches the staged copies
+        concurrently with that epoch's compute."""
         leaves, treedef = jax.tree_util.tree_flatten(params)
         packable = [isinstance(a, jax.Array) and a.dtype == jnp.float32
                     for a in leaves]
         out = list(leaves)
+        flat = None
         if any(packable):
             key = tuple((i, a.shape) for i, (a, p)
                         in enumerate(zip(leaves, packable)) if p)
@@ -251,18 +250,35 @@ class LatentRecorder:
                 self._packer = jax.jit(pack)
                 self._packer_idx = [i for i, p in enumerate(packable)
                                     if p]
-            flat = np.asarray(
-                self._packer([leaves[i] for i in self._packer_idx])
-            )
+            flat = self._packer([leaves[i] for i in self._packer_idx])
+        for i, a in enumerate(out):
+            if isinstance(a, jax.Array) and not packable[i]:
+                out[i] = jnp.copy(a)  # fresh buffer, fetched later
+        return flat, out, treedef
+
+    def _finish_params(self, staged):
+        """Fetch a :meth:`_stage_params` handle (ONE packed transfer +
+        any non-f32 leaves) and rebuild the numpy tree.  Per-leaf
+        ``np.asarray`` costs an ~27 ms round trip each over the
+        remote-device tunnel (~0.8 s for the NB tree's 26 leaves every
+        recording epoch); the packed layout pays one round trip."""
+        flat_dev, out, treedef = staged
+        if flat_dev is not None:
+            flat = np.asarray(flat_dev)
             off = 0
             for i in self._packer_idx:
-                n = int(np.prod(leaves[i].shape)) if leaves[i].ndim else 1
-                out[i] = flat[off:off + n].reshape(leaves[i].shape)
+                n = int(np.prod(out[i].shape)) if out[i].ndim else 1
+                out[i] = flat[off:off + n].reshape(out[i].shape)
                 off += n
         for i, a in enumerate(out):
             if isinstance(a, jax.Array):
                 out[i] = np.asarray(a)
         return jax.tree_util.tree_unflatten(treedef, out)
+
+    def _fetch_params(self, params):
+        """Synchronous fetch: stage + finish in one call (used by the
+        non-async recording paths)."""
+        return self._finish_params(self._stage_params(params))
 
     def update_on_epoch(self, params, epoch: int,
                         _direct: bool = False) -> None:
@@ -307,13 +323,15 @@ class LatentRecorder:
             self.update_on_epoch(params, epoch)
             return
 
+        staged = None
         if self.write_params:
-            # fetch params NOW (one packed transfer): the caller's next
-            # epoch dispatch donates these buffers (donate_argnums), so
-            # a deferred fetch would touch deleted arrays.  The sync
-            # this implies is the epoch's own completion, which the
-            # training loop pays right after us anyway (loss fetch).
-            params = self._fetch_params(params)
+            # stage params NOW without blocking: the jitted pack is an
+            # async dispatch into FRESH device buffers, so the caller's
+            # next epoch may donate the originals while the writer
+            # thread fetches the copies concurrently with its compute
+            # (the round-3 sync fetch here cost one ~27 ms tunnel RTT
+            # per recording epoch — the 119k-vs-139k recording gap)
+            staged = self._stage_params(params)
 
         def work():
             # runs on the single writer thread: ingest and writes stay
@@ -321,6 +339,8 @@ class LatentRecorder:
             # _direct=True writes inline (a nested submit would queue
             # behind this task; waiting on it would deadlock)
             self.ingest(batches, enc, extra)
-            self.update_on_epoch(params, epoch, _direct=True)
+            p = self._finish_params(staged) if staged is not None \
+                else params
+            self.update_on_epoch(p, epoch, _direct=True)
 
         self._pending.append(self._writer.submit(work))
