@@ -64,11 +64,17 @@ def main(argv=None) -> int:
     # mixture model needs the annotation surface + the recording key
     p.add_argument("--annot", default="")
     p.add_argument("--row", default="")
-    p.add_argument("--kappa_min", type=float, default=1.0)
-    p.add_argument("--kappa_max", type=float, default=100.0)
+    # None = reference per-mode defaults (resolve_kappa_defaults)
+    p.add_argument("--kappa_min", type=float, default=None)
+    p.add_argument("--kappa_max", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     ns, _unknown = p.parse_known_args(argv)
     warn_unknown_args(_unknown)
+    from .vmfnb_vae import resolve_kappa_defaults
+
+    ns.kappa_min, ns.kappa_max = resolve_kappa_defaults(
+        ns.kappa_min, ns.kappa_max, ns.model == "mixture"
+    )
 
     idx = ns.idx or ns.mtx + ".index"
     if not os.path.exists(idx):

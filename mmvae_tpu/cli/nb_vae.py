@@ -205,7 +205,10 @@ def main(argv=None) -> int:
         dp_shard_map=topt.dp_shard,
         start_epoch=start_epoch,
         init_opt_state=init_opt_state,
-        on_epoch_end=on_epoch_end,
+        # None when checkpointing is off: a live per-epoch callback
+        # forces the loop's per-epoch device sync (it would see
+        # stale loss_vec under the batched loss fetch)
+        on_epoch_end=on_epoch_end if topt.checkpoint_dir else None,
         metrics_path=(opts.out + ".metrics.jsonl") if _primary else None,
         ondevice=topt.ondevice,
         **host_kw,
