@@ -144,47 +144,102 @@ def main(argv=None) -> int:
     params, _, epoch, _ = load_checkpoint(ns.checkpoint, params_tmpl)
     TLOG(f"Loaded checkpoint at epoch {epoch - 1}")
 
-    # Chunked sweep: ``chunk_batches`` batches ride ONE jitted
-    # ``lax.map`` dispatch and ONE device->host fetch.  Per-batch
-    # results are identical to the one-dispatch-per-batch loop (the map
-    # body is the same per-batch graph; the mixture's frozen Gumbel key
-    # is per batch either way) while the host<->device round-trip count
-    # drops by the chunk factor — the loop is RTT-bound on tunneled
-    # devices (~27 ms each way here).
-    run_chunk = jax.jit(
-        lambda p, xs: jax.lax.map(lambda x: batch_fn(p, x), xs))
     batches = sequential_batches(N, ns.batch_size)
     chunk = max(1, ns.chunk_batches)
     mean_out = None
     lnvar_out = None
     clust_out = None
-    for i in range(0, len(batches), chunk):
-        grp = batches[i:i + chunk]
-        # keep ONE compiled shape: a ragged final group would otherwise
-        # trigger a second full XLA compile of the map sweep (slow over
-        # the remote-compile tunnel) — pad with the last batch's rows;
-        # the write-back loop below only consumes len(grp) slots
-        width = chunk if i > 0 else len(grp)
-        xs = np.empty((width, ns.batch_size, D), np.float32)
-        for j, batch in enumerate(grp):
-            db.clear()
-            xs[j] = db.read(batch)
-        for j in range(len(grp), width):
-            xs[j] = xs[len(grp) - 1]
-        outs = [np.asarray(o) for o in run_chunk(params, xs)]
-        mean, lnvar = outs[0], outs[1]
-        if mean_out is None:
-            mean_out = np.zeros((N, mean.shape[2]), np.float32)
-            lnvar_out = np.zeros((N, lnvar.shape[2]), np.float32)
-            if len(outs) == 3:
-                clust_out = np.zeros((N, outs[2].shape[2]), np.float32)
-        for j, batch in enumerate(grp):
-            # sequential_batches wraps modulo N, so every index is valid;
-            # wrapped duplicates rewrite identical rows.
-            mean_out[batch] = mean[j]
-            lnvar_out[batch] = lnvar[j]
-            if clust_out is not None:
-                clust_out[batch] = outs[2][j]
+
+    # Serving fast path: when N x D fits the dense budget (same
+    # MMVAE_DENSE_BYTES gate as training), load the counts ON DEVICE
+    # ONCE in the narrowest integer dtype and slice batches there —
+    # the streaming path below transfers ~N x D x 4 bytes of f32
+    # batches host->device (8 GB at the north star, ~200 s over the
+    # tunnel) where the resident path transfers the 2 GB int8 matrix
+    # once and is device-bound afterwards.
+    dense_budget = int(os.environ.get("MMVAE_DENSE_BYTES", 6 << 30))
+    from ..train.loop import _as_memory_block, _build_dense
+
+    blk = _as_memory_block(db)
+    vd = getattr(blk, "val_dtype", np.float32)
+    dense_ok = N % ns.batch_size == 0 \
+        and 0 < N * D * np.dtype(vd).itemsize <= dense_budget
+    if dense_ok:
+        import time
+
+        import jax.numpy as jnp
+
+        TLOG(f"Loading data on device (dense-resident, "
+             f"{N * D * np.dtype(vd).itemsize / 1e6:,.0f} MB "
+             f"{np.dtype(vd).name})")
+        data_dense = _build_dense(blk)
+        Bsz = ns.batch_size
+        nbatch = N // Bsz
+
+        def sweep(p, data):
+            # data rides as an ARGUMENT: closing over it would bake the
+            # 2 GB matrix into the lowered program as a constant
+            def body(b):
+                x = jax.lax.dynamic_slice_in_dim(
+                    data, b * Bsz, Bsz, 0
+                ).astype(jnp.float32)
+                return batch_fn(p, x)
+
+            return jax.lax.map(body, jnp.arange(nbatch))
+
+        # ONE dispatch for the whole dataset, one fetch per output —
+        # the exact shape of a training epoch's recording scan
+        jsweep = jax.jit(sweep)
+        outs_dev = jsweep(params, data_dense)
+        np.asarray(jax.tree_util.tree_leaves(outs_dev)[0][:1, :1])
+        t0 = time.time()
+        outs_dev = jsweep(params, data_dense)  # timed steady-state sweep
+        outs = [np.asarray(o) for o in outs_dev]
+        dt = time.time() - t0
+        TLOG(f"Encoded {N} cells in {dt:.3f}s "
+             f"({N / dt:,.0f} cells/sec, dense-resident)")
+        mean_out = outs[0].reshape(N, -1)
+        lnvar_out = outs[1].reshape(N, -1)
+        if len(outs) == 3:
+            clust_out = outs[2].reshape(N, -1)
+    else:
+        # Chunked streaming sweep: ``chunk_batches`` batches ride ONE
+        # jitted ``lax.map`` dispatch and ONE device->host fetch.
+        # Per-batch results are identical to the one-dispatch-per-batch
+        # loop (the map body is the same per-batch graph; the mixture's
+        # frozen Gumbel key is per batch either way) while the
+        # host<->device round-trip count drops by the chunk factor —
+        # the loop is RTT-bound on tunneled devices (~27 ms each way).
+        run_chunk = jax.jit(
+            lambda p, xs: jax.lax.map(lambda x: batch_fn(p, x), xs))
+        for i in range(0, len(batches), chunk):
+            grp = batches[i:i + chunk]
+            # keep ONE compiled shape: a ragged final group would
+            # otherwise trigger a second full XLA compile of the map
+            # sweep (slow over the remote-compile tunnel) — pad with the
+            # last batch's rows; the write-back loop below only
+            # consumes len(grp) slots
+            width = chunk if i > 0 else len(grp)
+            xs = np.empty((width, ns.batch_size, D), np.float32)
+            for j, batch in enumerate(grp):
+                db.clear()
+                xs[j] = db.read(batch)
+            for j in range(len(grp), width):
+                xs[j] = xs[len(grp) - 1]
+            outs = [np.asarray(o) for o in run_chunk(params, xs)]
+            mean, lnvar = outs[0], outs[1]
+            if mean_out is None:
+                mean_out = np.zeros((N, mean.shape[2]), np.float32)
+                lnvar_out = np.zeros((N, lnvar.shape[2]), np.float32)
+                if len(outs) == 3:
+                    clust_out = np.zeros((N, outs[2].shape[2]), np.float32)
+            for j, batch in enumerate(grp):
+                # sequential_batches wraps modulo N, so every index is
+                # valid; wrapped duplicates rewrite identical rows.
+                mean_out[batch] = mean[j]
+                lnvar_out[batch] = lnvar[j]
+                if clust_out is not None:
+                    clust_out[batch] = outs[2][j]
 
     write_data_file(f"{ns.out}.{names[0]}.gz", mean_out)
     write_data_file(f"{ns.out}.{names[1]}.gz", lnvar_out)

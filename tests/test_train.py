@@ -230,9 +230,10 @@ def train_mtx(tmp_path_factory):
     return path
 
 
-def _run_cli(module, args):
+def _run_cli(module, args, extra_env=None):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    env.update(extra_env or {})
     return subprocess.run(
         [sys.executable, "-m", module] + args,
         capture_output=True, text=True, env=env, timeout=600,
@@ -493,6 +494,36 @@ def test_encode_chunk_invariance(train_mtx, tmp_path):
                        read_data_file(out + ".mu_lnvar.gz"))
     assert np.array_equal(outs[1][0], outs[4][0])
     assert np.array_equal(outs[1][1], outs[4][1])
+
+
+def test_encode_resident_matches_streaming(train_mtx, tmp_path):
+    """The dense-resident serving sweep (one jitted lax.map over the
+    device-resident counts) is bitwise equal to the streaming chunked
+    path (MMVAE_DENSE_BYTES=1 forces the fallback)."""
+    from mmvae_tpu.io.writers import read_data_file
+
+    ckpt = str(tmp_path / "ckpt")
+    r = _run_cli("mmvae_tpu.cli.nb_vae", [
+        "--mtx", train_mtx, "--out", str(tmp_path / "t"),
+        "--max_epoch", "1", "--batch_size", "40",
+        "--checkpoint_dir", ckpt,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    args = ["--model", "nb", "--mtx", train_mtx, "--checkpoint", ckpt,
+            "--batch_size", "40"]
+    r = _run_cli("mmvae_tpu.cli.encode",
+                 args + ["--out", str(tmp_path / "res")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dense-resident" in r.stderr
+    r = _run_cli("mmvae_tpu.cli.encode",
+                 args + ["--out", str(tmp_path / "str")],
+                 extra_env={"MMVAE_DENSE_BYTES": "1"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dense-resident" not in r.stderr
+    for suffix in ("mu_mean", "mu_lnvar"):
+        a = read_data_file(str(tmp_path / f"res.{suffix}.gz"))
+        b = read_data_file(str(tmp_path / f"str.{suffix}.gz"))
+        assert np.array_equal(a, b), suffix
 
 
 def test_pretty_print_handles_array_fields():
