@@ -1,6 +1,6 @@
 """Capture + summarize a device trace of the packed fast-step epoch.
 
-Usage:  python benchmarks/trace_step.py [nb|joint|mixture] [D] [S]
+Usage:  python benchmarks/trace_step.py [nb|joint|mixture] [D] [S] [B]
 
 Runs the same on-device dense-resident epoch protocol as bench.py for
 the chosen model family, captures a jax.profiler trace around one
@@ -93,7 +93,7 @@ def main():
         sys.exit(f"unknown model kind {kind!r}: nb | joint | mixture")
     D = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
     S = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    B = 100
+    B = int(sys.argv[4]) if len(sys.argv) > 4 else 100
     model, trainer, params = build(kind, D, S)
     opt_state = trainer.optimizer.init(params)
 

@@ -1296,8 +1296,12 @@ def train_vae_model(
             if _defer_every > 1:
                 _defer.append(dict(epoch=epoch, rep=rep,
                                    timer=timer.summary()))
+                # the first epoch drains alone: it carries the one-time
+                # compile, which would otherwise pollute its whole
+                # group's reported throughput
                 if len(_defer) >= _defer_every \
-                        or epoch == opt.max_epoch - 1:
+                        or epoch == opt.max_epoch - 1 \
+                        or epoch == start_epoch:
                     _drain_deferred()
                 continue
             epoch_loss = float(np.asarray(rep).mean())
