@@ -526,6 +526,43 @@ def test_encode_resident_matches_streaming(train_mtx, tmp_path):
         assert np.array_equal(a, b), suffix
 
 
+def test_encode_resident_matches_streaming_mixture(train_mtx, tmp_path):
+    """Resident-vs-streaming equality for the mixture model: the frozen
+    per-batch Gumbel draw (fixed seed key) must be identical across the
+    two dispatch shapes."""
+    from mmvae_tpu.io.writers import read_data_file
+
+    rows = str(tmp_path / "rows.txt")
+    annot = str(tmp_path / "annot.txt")
+    with open(rows, "w") as f:
+        for i in range(30):
+            f.write(f"g{i}\n")
+    with open(annot, "w") as f:
+        for i in range(30):
+            f.write(f"g{i} label{i % 2}\n")
+    ckpt = str(tmp_path / "ck")
+    r = _run_cli("mmvae_tpu.cli.vmfnb_vae", [
+        "--mtx", train_mtx, "--out", str(tmp_path / "m"),
+        "--max_epoch", "1", "--batch_size", "40",
+        "--row", rows, "--annot", annot, "--checkpoint_dir", ckpt,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    args = ["--model", "mixture", "--mtx", train_mtx, "--checkpoint",
+            ckpt, "--batch_size", "40", "--row", rows, "--annot", annot]
+    r = _run_cli("mmvae_tpu.cli.encode",
+                 args + ["--out", str(tmp_path / "res")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dense-resident" in r.stderr
+    r = _run_cli("mmvae_tpu.cli.encode",
+                 args + ["--out", str(tmp_path / "str")],
+                 extra_env={"MMVAE_DENSE_BYTES": "1"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    for suffix in ("mu_mean", "mu_lnvar", "clust"):
+        a = read_data_file(str(tmp_path / f"res.{suffix}.gz"))
+        b = read_data_file(str(tmp_path / f"str.{suffix}.gz"))
+        assert np.array_equal(a, b), suffix
+
+
 def test_pretty_print_handles_array_fields():
     """Array-valued model config fields of any rank (np OR jax) print as
     shape summaries, never as full contents, and never crash."""
