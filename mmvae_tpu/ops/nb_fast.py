@@ -49,11 +49,7 @@ import optax
 
 from .enc_kernel import count_encode
 from .losses import gaussian_kl, kl_weight_schedule
-from .nb_step import (
-    nb_step_boot_gradonly_flagged,
-    nb_step_report,
-    nb_step_tile_flags,
-)
+from .nb_step import nb_step_boot_gradonly, nb_step_report
 
 
 def _softplus(x):
@@ -209,10 +205,6 @@ class PackedFastStep:
     plumbing are common.  The epoch runners in train/loop.py drive any
     subclass through this one protocol."""
 
-    # subclasses whose _loss feeds the NB step kernels set this so
-    # batch_step precomputes the per-tile branch flags once per batch
-    uses_tile_flags = False
-
     # ------------------------------------------------------------------
     # adam-state conversion: the chain is (clip, wd, adam, lr); only the
     # ScaleByAdamState's mu/nu trees are params-shaped
@@ -313,19 +305,9 @@ class PackedFastStep:
             rand = self._draw_batch(key, B)
 
         views = self._views(x)
-        # Precomputed per-tile kernel branch flags (nb_step_tile_flags)
-        # measured NET-NEGATIVE on v5e: the in-kernel whole-tile flag
-        # reduction is free (valgrad 89.1 us with or without), while
-        # the XLA precompute + extra SMEM operand cost ~4 us/batch —
-        # default OFF, MMVAE_TILE_FLAGS=1 re-enables for measurement.
-        import os as _os
-
-        use_flags = (self.uses_tile_flags
-                     and _os.environ.get("MMVAE_TILE_FLAGS", "0") == "1")
-        flags = nb_step_tile_flags(x) if use_flags else None
 
         report = self._loss(q, views, x, c, None, rand["rep_eps"], beta,
-                            include_const=True, boot=False, flags=flags)
+                            include_const=True, boot=False)
         if axis_name is not None:
             report = jax.lax.pmean(report, axis_name)
 
@@ -335,8 +317,7 @@ class PackedFastStep:
             eps = tuple(e[i] for e in rand["boot_eps"])
             grads = jax.grad(
                 lambda qq: self._loss(qq, views, x, c, ridx, eps, beta,
-                                      include_const=False, boot=True,
-                                      flags=flags)
+                                      include_const=False, boot=True)
             )(q)
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
@@ -370,7 +351,6 @@ class NBFastStep(PackedFastStep):
     plus ``nboot`` bootstrap Adam steps — on the packed representation.
     """
 
-    uses_tile_flags = True
 
     def __init__(self, model, opt, kl=(1.0, 1e-2, 0.1)):
         assert self.supports(model), (
@@ -577,7 +557,7 @@ class NBFastStep(PackedFastStep):
         return dict(rep_eps=rep_eps, ridx=ridx, boot_eps=(be_mu, be_nu))
 
     def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
-              boot: bool, flags=None):
+              boot: bool):
         del views
         if ridx is not None:
             # resample the INPUT rows, not the encoder outputs: the
@@ -596,14 +576,12 @@ class NBFastStep(PackedFastStep):
         wd, wc, bias2, wn, bias_n = self._kernel_rows(q["P"])
         # boot losses are consumed by jax.grad only — the grad-only
         # kernel skips the primal's lgamma/log VPU ops entirely
-        if boot:
-            nll = nb_step_boot_gradonly_flagged(
-                flags, x, z_mu, c, z_nu, depth, wd, wc, bias2, wn, bias_n
-            )
-        else:
-            nll = nb_step_report(x, z_mu, c, z_nu, depth, wd, wc, bias2,
-                                 wn, bias_n, include_const=include_const,
-                                 flags=flags)
+        # boot losses are consumed by jax.grad only — the grad-only
+        # kernel skips the primal's lgamma/log VPU ops entirely
+        step_fn = nb_step_boot_gradonly if boot else (
+            lambda *a: nb_step_report(*a, include_const=include_const)
+        )
+        nll = step_fn(x, z_mu, c, z_nu, depth, wd, wc, bias2, wn, bias_n)
         return (nll + beta * kl) / x.shape[0]
 
 

@@ -342,17 +342,11 @@ def _lse_call(zm, c, W, bp: int, Dp: int, td: int, D: int, R: int, C: int):
 
 def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
                        x_is_int: bool, has_pb: bool = False,
-                       nu_exp: bool = False, with_flags: bool = False):
+                       nu_exp: bool = False):
     pbi = R + C + 2 + Rn  # stacked row of the post-softmax log-bias
 
-    def kernel(*refs):
-        if with_flags:
-            (flag_ref, x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
-             nll_ref, acc_ref, lg_ref) = refs
-        else:
-            (x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
-             nll_ref, acc_ref, lg_ref) = refs
-            flag_ref = None
+    def kernel(x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
+               nll_ref, acc_ref, lg_ref):
         j = pl.program_id(0)
         nj = pl.num_programs(0)
 
@@ -375,13 +369,8 @@ def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
         else:
             nu = jnp.clip(jax.nn.softplus(nupre), NU_LO, NU_HI) + EPS
 
-        if flag_ref is not None:
-            fl = flag_ref[0, j]
-            fast = fl > 1.5
-            allint = True if x_is_int else (fl > 0.5)
-        else:
-            fast = _fast_flag(x, valid, x_is_int) > 0.5
-            allint = True if x_is_int else (_int_flag(x, valid) > 0.5)
+        fast = _fast_flag(x, valid, x_is_int) > 0.5
+        allint = True if x_is_int else (_int_flag(x, valid) > 0.5)
 
         @pl.when(fast)
         def _():
@@ -422,7 +411,7 @@ def _make_value_kernel(R, C, Rn, td, D, B, bp, with_const: bool,
 
 
 def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
-                has_pb=False, nu_exp=False, flags=None):
+                has_pb=False, nu_exp=False):
     bp, Dp = x.shape
     td = _tile_for(bp)
     nj = Dp // td
@@ -430,30 +419,20 @@ def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
     R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
     x_is_int = jnp.issubdtype(x.dtype, jnp.integer)
     kernel = _make_value_kernel(R, C, Rn, td, D, B, bp, with_const,
-                                x_is_int, has_pb, nu_exp,
-                                with_flags=flags is not None)
+                                x_is_int, has_pb, nu_exp)
     zc = jnp.concatenate([zm, c], axis=1)
-    in_specs = [
-        pl.BlockSpec((bp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bp, R + C), lambda j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
-    ]
-    args = [x, zc, zn, depth, lse, W]
-    if flags is not None:
-        # whole flag row as ONE scalar-memory block; the kernel indexes
-        # it by the grid step (per-step (1,1) SMEM blocks are rejected
-        # by Mosaic's block-shape rules on real TPUs)
-        in_specs.insert(0, pl.BlockSpec(
-            flags.shape, lambda j: (0, 0), memory_space=pltpu.SMEM))
-        args.insert(0, flags)
     nll = pl.pallas_call(
         kernel,
         grid=(nj,),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((bp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, R + C), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, 1), lambda j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -462,7 +441,7 @@ def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
             pltpu.VMEM((bp, td), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(*args)
+    )(x, zc, zn, depth, lse, W)
     return nll[0, 0]
 
 
@@ -472,20 +451,13 @@ def _value_call(x, zm, c, zn, depth, lse, W, *, D, B, with_const,
 
 def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
                          has_pb: bool = False, nu_exp: bool = False,
-                         need_value: bool = True, with_flags: bool = False):
+                         need_value: bool = True):
     base = R + C + 1  # rows: wd | wc | bias2 | wn | bias_n | [pb]
     pbi = base + Rn + 1
 
-    def kernel(*refs):
-        if with_flags:
-            (flag_ref, x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
-             nll_ref, gout_ref, rsum_ref, u1_ref, dzn_ref,
-             acc_ref, rs_acc, u1_acc, dzn_acc, lg_ref, dg_ref) = refs
-        else:
-            (x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
-             nll_ref, gout_ref, rsum_ref, u1_ref, dzn_ref,
-             acc_ref, rs_acc, u1_acc, dzn_acc, lg_ref, dg_ref) = refs
-            flag_ref = None
+    def kernel(x_ref, zc_ref, zn_ref, depth_ref, lse_ref, w_ref,
+               nll_ref, gout_ref, rsum_ref, u1_ref, dzn_ref,
+               acc_ref, rs_acc, u1_acc, dzn_acc, lg_ref, dg_ref):
         j = pl.program_id(0)
         nj = pl.num_programs(0)
 
@@ -531,18 +503,9 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
         # lgamma/digamma differences: exact select-products when all
         # counts in the tile are small integers, the mixed product/
         # Stirling path for all-integer tiles of any magnitude, and the
-        # full Stirling-shift path only for non-integer data.  With
-        # precomputed per-tile flags (2 = fast, 1 = all-int, 0 = slow —
-        # see nb_step_tile_flags) the in-kernel flag reductions are
-        # skipped; for integer counts the branches agree bitwise, so a
-        # conservative full-batch flag on resampled rows is exact.
-        if flag_ref is not None:
-            fl = flag_ref[0, j]
-            fast = fl > 1.5
-            allint = True if x_is_int else (fl > 0.5)
-        else:
-            fast = _fast_flag(x, valid, x_is_int) > 0.5
-            allint = True if x_is_int else (_int_flag(x, valid) > 0.5)
+        # full Stirling-shift path only for non-integer data
+        fast = _fast_flag(x, valid, x_is_int) > 0.5
+        allint = True if x_is_int else (_int_flag(x, valid) > 0.5)
 
         @pl.when(fast)
         def _():
@@ -645,7 +608,7 @@ def _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int: bool,
 
 
 def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
-                  nu_exp=False, need_value=True, flags=None):
+                  nu_exp=False, need_value=True):
     bp, Dp = x.shape
     td = _tile_for(bp)
     nj = Dp // td
@@ -653,30 +616,25 @@ def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
     R, C, Rn = zm.shape[1], c.shape[1], zn.shape[1]
     x_is_int = jnp.issubdtype(x.dtype, jnp.integer)
     kernel = _make_valgrad_kernel(R, C, Rn, td, D, B, bp, x_is_int,
-                                  has_pb, nu_exp, need_value,
-                                  with_flags=flags is not None)
+                                  has_pb, nu_exp, need_value)
     zc = jnp.concatenate([zm, c], axis=1)
-    in_specs = [
-        pl.BlockSpec((bp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bp, R + C), lambda j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bp, Rn), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
-    ]
-    args = [x, zc, zn, depth, lse, W]
-    if flags is not None:
-        # whole flag row as ONE scalar-memory block; the kernel indexes
-        # it by the grid step (per-step (1,1) SMEM blocks are rejected
-        # by Mosaic's block-shape rules on real TPUs)
-        in_specs.insert(0, pl.BlockSpec(
-            flags.shape, lambda j: (0, 0), memory_space=pltpu.SMEM))
-        args.insert(0, flags)
     nll, gout, rsum, u1, dzn = pl.pallas_call(
         kernel,
         grid=(nj,),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((bp, td), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, R + C), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, Rn), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, td), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=(
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((Tp, td), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -700,7 +658,7 @@ def _valgrad_call(x, zm, c, zn, depth, lse, W, *, D, B, has_pb=False,
             pltpu.VMEM((bp, td), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(*args)
+    )(x, zc, zn, depth, lse, W)
     return nll[0, 0], gout, rsum, u1, dzn
 
 
@@ -804,45 +762,13 @@ def _combine_lse(lse_local, model_axis):
     return m + jnp.log(s)
 
 
-def nb_step_tile_flags(x):
-    """Per-tile branch flags for the step kernels, as a (1, nj) f32 row:
-    2 = every count in tile j is an integer in [0, 7] (exact
-    select-product path), 1 = all integer (mixed product/Stirling path),
-    0 = general data.
-
-    Computed ONCE per batch from the full (B, D) counts and reused by
-    the report pass and all boot passes: a bootstrap row-resample is a
-    row subset, so a full-batch flag is a conservative under-estimate,
-    and for integer counts the fast and mixed branches agree bitwise —
-    the conservative choice never changes a value.  Replaces four
-    in-kernel whole-tile flag reductions with one XLA pass over x."""
-    B, D = x.shape
-    bp = _ceil_to(B, 8)
-    td = _tile_for(bp)
-    Dp = _ceil_to(D, td)
-    nj = Dp // td
-    xf = jnp.pad(x, ((0, 0), (0, Dp - D))).astype(jnp.float32)
-    t = xf.reshape(B, nj, td)  # zero pad: compatible with every branch
-    mx = jnp.max(t, axis=(0, 2))
-    nonneg = jnp.min(t, axis=(0, 2)) >= 0.0
-    if jnp.issubdtype(x.dtype, jnp.integer):
-        isint = jnp.ones_like(nonneg)
-    else:
-        isint = jnp.all(t == jnp.floor(t), axis=(0, 2))
-    ok = nonneg & isint
-    fast = ok & (mx <= _XMAX_FAST)
-    return jnp.where(fast, 2.0, jnp.where(ok, 1.0, 0.0)).reshape(1, nj)
-
-
 def nb_step_report(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
                    include_const: bool = True, pb=None,
-                   nu_exp: bool = False, model_axis: str | None = None,
-                   flags=None):
+                   nu_exp: bool = False, model_axis: str | None = None):
     """Reporting-pass NLL (value only).  Not differentiable — the
     reporting forward takes no grad step (reference:
     mmvae_alg.hh:277-285).  With ``model_axis`` the D-sized operands are
-    shards and the normalizer/NLL combine over the mesh axis (TP).
-    ``flags`` is an optional precomputed :func:`nb_step_tile_flags`."""
+    shards and the normalizer/NLL combine over the mesh axis (TP)."""
     if not _use_kernel(x.shape[1], x.shape[0]):
         return xla_step_nll(x, zm, c, zn, depth, wd, wc, bias2, wn,
                             bias_n, pb, include_const, nu_exp, model_axis)
@@ -856,7 +782,7 @@ def nb_step_report(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
         lse = _combine_lse(lse, model_axis)
     nll = _value_call(xp, zmp, cp, znp, dpp, lse, W,
                       D=dims["D"], B=dims["B"], with_const=include_const,
-                      has_pb=pb is not None, nu_exp=nu_exp, flags=flags)
+                      has_pb=pb is not None, nu_exp=nu_exp)
     if model_axis is not None:
         nll = jax.lax.psum(nll, model_axis)
     return nll
@@ -874,7 +800,7 @@ def nb_step_boot(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
 
 def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
                    nu_exp: bool, model_axis: str | None = None,
-                   need_value: bool = True, flags=None):
+                   need_value: bool = True):
     """Shared fused fwd+grad.  Returns (nll, (res, xla_vjp)) where res
     additionally carries d_pb when ``pb`` is given.
 
@@ -907,7 +833,7 @@ def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
         lse = _combine_lse(lse, model_axis)
     nll, gout, rsum, u1, dzn = _valgrad_call(
         xp, zmp, cp, znp, dpp, lse, W, D=D, B=B, has_pb=pb is not None,
-        nu_exp=nu_exp, need_value=need_value, flags=flags,
+        nu_exp=nu_exp, need_value=need_value,
     )
     if model_axis is not None:
         if need_value:
@@ -1058,30 +984,6 @@ def _boot_gradonly_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
 nb_step_boot_gradonly.defvjp(_boot_gradonly_fwd, _boot_bwd)
 
 
-@jax.custom_vjp
-def nb_step_boot_gradonly_flagged(flags, x, zm, c, zn, depth, wd, wc,
-                                  bias2, wn, bias_n):
-    """:func:`nb_step_boot_gradonly` with precomputed per-tile branch
-    flags (:func:`nb_step_tile_flags`) as a leading non-diff operand."""
-    nll, _ = _boot_gradonly_flagged_fwd(flags, x, zm, c, zn, depth, wd,
-                                        wc, bias2, wn, bias_n)
-    return nll
-
-
-def _boot_gradonly_flagged_fwd(flags, x, zm, c, zn, depth, wd, wc, bias2,
-                               wn, bias_n):
-    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
-                          None, nu_exp=False, need_value=False,
-                          flags=flags)
-
-
-def _boot_flagged_bwd(saved, g):
-    return (None,) + _boot_bwd(saved, g)
-
-
-nb_step_boot_gradonly_flagged.defvjp(_boot_gradonly_flagged_fwd,
-                                     _boot_flagged_bwd)
-
 
 @jax.custom_vjp
 def nb_step_boot_joint_gradonly(x, zm, c, zn, depth, wd, wc, bias2, wn,
@@ -1101,30 +1003,6 @@ def _boot_joint_gradonly_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn,
 nb_step_boot_joint_gradonly.defvjp(_boot_joint_gradonly_fwd,
                                    _boot_joint_bwd)
 
-
-@jax.custom_vjp
-def nb_step_boot_joint_gradonly_flagged(flags, x, zm, c, zn, depth, wd,
-                                        wc, bias2, wn, bias_n, pb):
-    """:func:`nb_step_boot_joint_gradonly` with precomputed per-tile
-    branch flags (:func:`nb_step_tile_flags`) as a leading operand."""
-    nll, _ = _boot_joint_gradonly_flagged_fwd(flags, x, zm, c, zn, depth,
-                                              wd, wc, bias2, wn, bias_n,
-                                              pb)
-    return nll
-
-
-def _boot_joint_gradonly_flagged_fwd(flags, x, zm, c, zn, depth, wd, wc,
-                                     bias2, wn, bias_n, pb):
-    return _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n,
-                          pb, nu_exp=True, need_value=False, flags=flags)
-
-
-def _boot_joint_flagged_bwd(saved, g):
-    return (None,) + _boot_joint_bwd(saved, g)
-
-
-nb_step_boot_joint_gradonly_flagged.defvjp(_boot_joint_gradonly_flagged_fwd,
-                                           _boot_joint_flagged_bwd)
 
 
 def _boot_tp_bwd(model_axis, saved, g):

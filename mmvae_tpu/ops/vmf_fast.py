@@ -258,8 +258,8 @@ class VMFFastStep(PackedFastStep):
 
     # ------------------------------------------------------------------
     def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
-              boot: bool, flags=None):
-        del x, flags  # raw counts live on only through the hoisted views
+              boot: bool):
+        del x  # raw counts live on only through the hoisted views
         xn, yobs = views
         if ridx is not None:
             # row-wise transforms commute with row gathers: gathering

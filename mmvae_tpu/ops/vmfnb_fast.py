@@ -56,7 +56,7 @@ from .nb_fast import (
     _softplus,
 )
 from .nb_step import (
-    nb_step_boot_joint_gradonly_flagged,
+    nb_step_boot_joint_gradonly,
     nb_step_report,
 )
 
@@ -139,7 +139,6 @@ class _JRows:
 class VMFNBFastStep(PackedFastStep):
     """Packed fast step for :class:`~mmvae_tpu.models.vmfnb.VMFNBVAE`."""
 
-    uses_tile_flags = True
 
     def __init__(self, model, opt, kl=(1.0, 1e-2, 0.1)):
         assert self.supports(model), (
@@ -361,7 +360,7 @@ class VMFNBFastStep(PackedFastStep):
 
     # ------------------------------------------------------------------
     def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
-              boot: bool, flags=None):
+              boot: bool):
         del views, c  # no hoisted views; no covariate pathway
         if ridx is not None:
             # resample the INPUT rows and re-encode them: the per-row
@@ -413,15 +412,13 @@ class VMFNBFastStep(PackedFastStep):
         cz = jnp.zeros((B, 1), jnp.float32)
         wcz = jnp.zeros((1, x.shape[1]), jnp.float32)
         if boot:
-            nll = nb_step_boot_joint_gradonly_flagged(
-                flags, x, z_nb, cz, z_nu, depth, wd, wcz, bias2, wn,
-                bias_n, pb
+            nll = nb_step_boot_joint_gradonly(
+                x, z_nb, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n, pb
             )
         else:
             nll = nb_step_report(
                 x, z_nb, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n,
                 include_const=include_const, pb=pb, nu_exp=True,
-                flags=flags,
             )
         vmf = self._vmf_nll(q, t, z_vmf, kappa)
         return (nll + vmf + beta * kl) / B
@@ -519,7 +516,6 @@ class VMFNBMixtureFastStep(PackedFastStep):
       responsibility mix of the (already unit) masked directions.
     """
 
-    uses_tile_flags = True
 
     def __init__(self, model, opt, kl=(1.0, 1e-2, 0.1)):
         assert self.supports(model), (
@@ -662,7 +658,7 @@ class VMFNBMixtureFastStep(PackedFastStep):
 
     # ------------------------------------------------------------------
     def _loss(self, q, views, x, c, ridx, eps, beta, include_const,
-              boot: bool, flags=None):
+              boot: bool):
         del views, c  # no hoisted views; no covariate pathway
         if ridx is not None:
             # gather the narrow int counts only and re-encode: per-row
@@ -760,15 +756,13 @@ class VMFNBMixtureFastStep(PackedFastStep):
         cz = jnp.zeros((B, 1), jnp.float32)
         wcz = jnp.zeros((1, x.shape[1]), jnp.float32)
         if boot:
-            nll = nb_step_boot_joint_gradonly_flagged(
-                flags, x, z_mu, cz, z_nu, depth, wd, wcz, bias2, wn,
-                bias_n, pb
+            nll = nb_step_boot_joint_gradonly(
+                x, z_mu, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n, pb
             )
         else:
             nll = nb_step_report(
                 x, z_mu, cz, z_nu, depth, wd, wcz, bias2, wn, bias_n,
                 include_const=include_const, pb=pb, nu_exp=True,
-                flags=flags,
             )
 
         # vMF loss without the (B, D) recon: recon = (latent @ mu^T) *

@@ -1267,6 +1267,11 @@ def train_vae_model(
         if epoch_runner is not None and (
             not record_now or epoch_runner.can_record
         ):
+            if _defer_every > 1 and not _defer:
+                # fresh report group: start its clock HERE so time spent
+                # in an interleaved host-path epoch (or a drain) is not
+                # attributed to the group's cells/sec
+                _group_t0[0] = time.time()
             with timer.phase("step"), annotate("ondevice_epoch"):
                 params, opt_state, out = epoch_runner(
                     params, opt_state, epoch, record=record_now

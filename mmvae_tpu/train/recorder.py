@@ -254,7 +254,10 @@ class LatentRecorder:
         for i, a in enumerate(out):
             if isinstance(a, jax.Array) and not packable[i]:
                 out[i] = jnp.copy(a)  # fresh buffer, fetched later
-        return flat, out, treedef
+        # snapshot the packer indices INTO the handle: the writer thread
+        # finishes this stage later, and a subsequent _stage_params with
+        # a different leaf set would rebind self._packer_idx under it
+        return flat, out, treedef, list(self._packer_idx or [])
 
     def _finish_params(self, staged):
         """Fetch a :meth:`_stage_params` handle (ONE packed transfer +
@@ -262,11 +265,11 @@ class LatentRecorder:
         ``np.asarray`` costs an ~27 ms round trip each over the
         remote-device tunnel (~0.8 s for the NB tree's 26 leaves every
         recording epoch); the packed layout pays one round trip."""
-        flat_dev, out, treedef = staged
+        flat_dev, out, treedef, packer_idx = staged
         if flat_dev is not None:
             flat = np.asarray(flat_dev)
             off = 0
-            for i in self._packer_idx:
+            for i in packer_idx:
                 n = int(np.prod(out[i].shape)) if out[i].ndim else 1
                 out[i] = flat[off:off + n].reshape(out[i].shape)
                 off += n

@@ -425,57 +425,3 @@ def test_use_kernel_batch_gate(monkeypatch):
     # the tile helper itself floors at 128 lanes
     assert nb_step._tile_for(nb_step._SLOT_CAP // 128) == 128
 
-
-def test_tile_flags_match_in_kernel_decision():
-    """nb_step_tile_flags reproduces the kernels' own per-tile branch
-    choices (2/1/0) for int and float data, incl. a row resample."""
-    from mmvae_tpu.ops.nb_step import nb_step_tile_flags
-
-    rng = np.random.default_rng(4)
-    # D=1100 at td=128-aligned tiling: force one big-count tile and
-    # (float case) one non-integer tile
-    x = rng.poisson(0.8, size=(10, 2100)).clip(0, 6).astype(np.float32)
-    x[3, 1200] = 31.0
-    flags_int = np.asarray(nb_step_tile_flags(jnp.asarray(x, jnp.int16)))
-    flags_f = np.asarray(nb_step_tile_flags(jnp.asarray(x)))
-    np.testing.assert_array_equal(flags_int, flags_f)
-    assert set(np.unique(flags_f)) <= {1.0, 2.0}
-    assert (flags_f == 1.0).sum() == 1  # exactly the big-count tile
-    xf = x.copy()
-    xf[0, 7] = 0.5
-    flags_n = np.asarray(nb_step_tile_flags(jnp.asarray(xf)))
-    assert flags_n.flat[0] == 0.0  # non-integer tile -> general path
-
-
-def test_boot_gradonly_flagged_matches_unflagged():
-    """Precomputed-flag boot kernel == in-kernel-flag boot kernel
-    bitwise for integer counts, for full-batch AND resampled rows."""
-    from mmvae_tpu.ops.nb_step import (
-        nb_step_boot_gradonly,
-        nb_step_boot_gradonly_flagged,
-        nb_step_tile_flags,
-    )
-
-    args = list(_mk_inputs(seed=7, D=2100, x_dtype=np.int16))
-    x = np.asarray(args[0]).copy()
-    x[2, 1200] = 31  # one mixed-path tile
-    args[0] = jnp.asarray(x)
-    flags = nb_step_tile_flags(args[0])
-
-    rng = np.random.default_rng(1)
-    ridx = jnp.asarray(rng.integers(0, x.shape[0], x.shape[0]))
-
-    for gather in (False, True):
-        a = list(args)
-        if gather:
-            a[0] = jnp.take(a[0], ridx, axis=0)
-
-        g_plain = jax.grad(lambda wd: nb_step_boot_gradonly(
-            a[0], a[1], a[2], a[3], a[4], wd, a[6], a[7], a[8], a[9]
-        ))(a[5])
-        g_flag = jax.grad(lambda wd: nb_step_boot_gradonly_flagged(
-            flags, a[0], a[1], a[2], a[3], a[4], wd, a[6], a[7], a[8],
-            a[9]
-        ))(a[5])
-        np.testing.assert_array_equal(np.asarray(g_plain),
-                                      np.asarray(g_flag))
