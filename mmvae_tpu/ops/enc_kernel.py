@@ -238,62 +238,89 @@ def count_encode(x, WL, WX, filt, want_stats: bool = False):
     """Fused ``(log1p(x) @ WL^T, x @ WX^T[, row stats])``.
 
     x     : (B, D) integer (or float) counts — data, no gradient
-    WL    : (r1, D) rows contracted against log1p(x)
+    WL    : (r1, D) rows contracted against log1p(x) — OR a tuple of
+            row blocks, concatenated inside the op (callers with
+            several L-side parameter groups avoid materializing the
+            stacked matrix twice: the op pads-and-concatenates anyway)
     WX    : (r2, D) rows contracted against float(x)
     filt  : optional (1, D) mask for the filtered stats (mixture)
     want_stats (static): also return (B, 4) f32
             ``[sum L, sum L^2, sum L*filt, sum L^2*filt]``
             (parameter-independent — carries no gradient)
 
-    Returns (hL, hX, stats_or_None).  Semantics (and the CPU path)
-    match the fast steps' bf16-view ``_data_mm`` contractions bitwise;
-    on TPU the tiled f32 accumulation differs by reassociation ulps.
+    Returns (hL, hX, stats_or_None); ``hL`` columns follow the WL block
+    order.  Semantics (and the CPU path) match the fast steps'
+    bf16-view ``_data_mm`` contractions bitwise; on TPU the tiled f32
+    accumulation differs by reassociation ulps.
     """
     out, _ = _ce_fwd(x, WL, WX, filt, want_stats)
     return out
 
 
+def _wl_parts(WL):
+    return WL if isinstance(WL, tuple) else (WL,)
+
+
 def _ce_fwd(x, WL, WX, filt, want_stats):
     assert filt is None or want_stats, "filt only affects the stats"
     B, D = x.shape
+    parts = _wl_parts(WL)
     if not _use_kernel(D):
         out, vjp = jax.vjp(
-            lambda wl, wx: _xla_encode(x, wl, wx, filt, want_stats),
-            WL, WX,
+            lambda wl, wx: _xla_encode(
+                x, jnp.concatenate(wl, axis=0) if len(wl) > 1 else wl[0],
+                wx, filt, want_stats),
+            parts, WX,
         )
-        return out, (None, vjp)
-    r1, r2 = WL.shape[0], WX.shape[0]
+        return out, (None, vjp, isinstance(WL, tuple))
+    r1 = sum(p.shape[0] for p in parts)
+    r2 = WX.shape[0]
     r1p, r2p = _ceil_to(max(r1, 1), 8), _ceil_to(max(r2, 1), 8)
     bp = _ceil_to(B, 8)
     td = min(_TD, _ceil_to(D, 128))
     Dp = _ceil_to(D, td)
     xp = jnp.pad(x, ((0, bp - B), (0, Dp - D)))
-    W = jnp.concatenate([
-        jnp.pad(WL, ((0, r1p - r1), (0, Dp - D))),
-        jnp.pad(WX, ((0, r2p - r2), (0, Dp - D))),
-    ], axis=0)
+    # ONE concatenate builds the padded stack directly from the blocks
+    W = jnp.concatenate(
+        [jnp.pad(p, ((0, 0), (0, Dp - D))) for p in parts]
+        + ([jnp.zeros((r1p - r1, Dp), parts[0].dtype)] if r1p > r1
+           else [])
+        + [jnp.pad(WX, ((0, r2p - r2), (0, Dp - D)))],
+        axis=0,
+    )
     filt_p = (jnp.pad(filt, ((0, 0), (0, Dp - D)))
               if filt is not None else None)
     hL, hX, st = _fwd_call(xp, W, filt_p, r1p, r2p, want_stats)
     out = (hL[:B, :r1], hX[:B, :r2],
            st[:B] if want_stats else None)
-    return out, ((xp, B, D, r1, r2, r1p, r2p), None)
+    part_rows = tuple(p.shape[0] for p in parts)
+    return out, ((xp, B, D, r1, r2, r1p, r2p, part_rows,
+                  isinstance(WL, tuple)), None, None)
 
 
 def _ce_bwd(want_stats, res, g):
-    saved, xla_vjp = res
+    saved, xla_vjp, was_tuple = res
     g1, g2, _gst = g
     if saved is None:
-        dWL, dWX = xla_vjp((g1, g2, _gst))
+        dparts, dWX = xla_vjp((g1, g2, _gst))
+        dWL = dparts if was_tuple else dparts[0]
         return None, dWL, dWX, None
-    xp, B, D, r1, r2, r1p, r2p = saved
+    (xp, B, D, r1, r2, r1p, r2p, part_rows, was_tuple) = saved
     bp = xp.shape[0]
     g1p = jnp.pad(jnp.asarray(g1, jnp.float32),
                   ((0, bp - B), (0, r1p - r1)))
     g2p = jnp.pad(jnp.asarray(g2, jnp.float32),
                   ((0, bp - B), (0, r2p - r2)))
     dw = _bwd_call(xp, g1p, g2p, r1p, r2p)
-    return None, dw[:r1, :D], dw[r1p:r1p + r2, :D], None
+    if was_tuple:
+        dWL, off = [], 0
+        for n in part_rows:
+            dWL.append(dw[off:off + n, :D])
+            off += n
+        dWL = tuple(dWL)
+    else:
+        dWL = dw[:r1, :D]
+    return None, dWL, dw[r1p:r1p + r2, :D], None
 
 
 count_encode.defvjp(_ce_fwd, _ce_bwd)

@@ -385,8 +385,7 @@ class VMFNBFastStep(PackedFastStep):
         Wt = P[r.mu_enc_w] / sd                             # (R, D)
         vrows = P[r.vmf_rows]                               # (R+1, D)
         out, ndk, stats = count_encode(
-            x, jnp.concatenate([Wt, vrows], axis=0), P[r.ndk_rows],
-            None, True,
+            x, (Wt, vrows), P[r.ndk_rows], None, True,
         )
         s, ssq = stats[:, 0], stats[:, 1]
         D = float(self.model.data_dim)
@@ -690,8 +689,7 @@ class VMFNBMixtureFastStep(PackedFastStep):
         # |(L+eps)filt|^2 = sum(filt L^2) + 2 eps sum(filt L) + eps^2 dd
         # |L+eps'|^2    = |L|^2 + 2 eps' sum(L) + D eps'^2
         out, ndk, stats = count_encode(
-            x, jnp.concatenate([Wt, vmu], axis=0), P[r.ndk_rows],
-            self._filt, True,
+            x, (Wt, vmu), P[r.ndk_rows], self._filt, True,
         )
         s, ssq, s_f, ssq_f = (stats[:, 0], stats[:, 1], stats[:, 2],
                               stats[:, 3])
