@@ -40,14 +40,20 @@ _BUDGET = float(os.environ.get("MMVAE_BENCH_BUDGET", "540"))
 
 
 def _subprocess_probe(timeout: float) -> bool:
-    """One device-contact attempt in a child process (killable on hang)."""
+    """One device-contact attempt in a child process (killable on hang).
+
+    Asserts the contacted backend is the TPU: a fast-failing plugin
+    would otherwise fall back to CPU, 'succeed', and let the benchmark
+    silently measure the 1-core host instead of the chip."""
     import subprocess
 
     try:
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax, numpy as np, jax.numpy as jnp;"
-             "np.asarray(jnp.ones((1,)))"],
+             "np.asarray(jnp.ones((1,)));"
+             "assert jax.default_backend() in ('tpu', 'axon'), "
+             "jax.default_backend()"],
             timeout=timeout, capture_output=True,
         )
         return r.returncode == 0
@@ -61,6 +67,10 @@ def wait_for_device(budget: float, probe=_subprocess_probe,
                     backoff: float = 15.0) -> bool:
     """Probe -> back off -> re-probe until device contact succeeds or
     ~80% of ``budget`` seconds are spent.  Injectable for tests."""
+    # 80% of the budget may leave too little for a COLD bench after a
+    # late recovery — that is deliberate: running late still has a
+    # chance of producing the JSON line (warm caches finish in ~2-4
+    # min), while giving up earlier guarantees no number at all.
     deadline = clock() + 0.8 * budget
     while True:
         remaining = deadline - clock()
@@ -158,6 +168,12 @@ def main() -> None:
     # legitimately take minutes over a degraded tunnel with a cold
     # compile cache — the watchdog should only catch a DEAD tunnel
     np.asarray(jnp.ones((1,)))
+    if jax.default_backend() not in ("tpu", "axon"):
+        sys.stderr.write(
+            f"bench: refusing to measure backend "
+            f"{jax.default_backend()!r} (TPU plugin missing?)\n"
+        )
+        sys.exit(2)
     _device_ready.set()
     data_dense = jax.jit(
         lambda k: jax.random.poisson(k, 0.5, shape=(ntot, D)).astype(

@@ -160,10 +160,14 @@ def main(argv=None) -> int:
     dense_budget = int(os.environ.get("MMVAE_DENSE_BYTES", 6 << 30))
     from ..train.loop import _as_memory_block, _build_dense
 
-    blk = _as_memory_block(db)
-    vd = getattr(blk, "val_dtype", np.float32)
-    dense_ok = N % ns.batch_size == 0 \
-        and 0 < N * D * np.dtype(vd).itemsize <= dense_budget
+    # cheap pre-check before the whole-file CSC read: even at 1
+    # byte/count (int8, the narrowest possible) an over-budget N x D
+    # can never densify, so skip building the memory block entirely
+    dense_ok = N % ns.batch_size == 0 and 0 < N * D <= dense_budget
+    if dense_ok:
+        blk = _as_memory_block(db)
+        vd = getattr(blk, "val_dtype", np.float32)
+        dense_ok = N * D * np.dtype(vd).itemsize <= dense_budget
     if dense_ok:
         import time
 

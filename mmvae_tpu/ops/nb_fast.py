@@ -576,8 +576,6 @@ class NBFastStep(PackedFastStep):
         wd, wc, bias2, wn, bias_n = self._kernel_rows(q["P"])
         # boot losses are consumed by jax.grad only — the grad-only
         # kernel skips the primal's lgamma/log VPU ops entirely
-        # boot losses are consumed by jax.grad only — the grad-only
-        # kernel skips the primal's lgamma/log VPU ops entirely
         step_fn = nb_step_boot_gradonly if boot else (
             lambda *a: nb_step_report(*a, include_const=include_const)
         )

@@ -984,7 +984,6 @@ def _boot_gradonly_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n):
 nb_step_boot_gradonly.defvjp(_boot_gradonly_fwd, _boot_bwd)
 
 
-
 @jax.custom_vjp
 def nb_step_boot_joint_gradonly(x, zm, c, zn, depth, wd, wc, bias2, wn,
                                 bias_n, pb):
@@ -1002,7 +1001,6 @@ def _boot_joint_gradonly_fwd(x, zm, c, zn, depth, wd, wc, bias2, wn,
 
 nb_step_boot_joint_gradonly.defvjp(_boot_joint_gradonly_fwd,
                                    _boot_joint_bwd)
-
 
 
 def _boot_tp_bwd(model_axis, saved, g):

@@ -1235,12 +1235,13 @@ def train_vae_model(
         if not _defer:
             _group_t0[0] = time.time()
             return
-        means = np.asarray(
-            jnp.stack([jnp.mean(d["rep"]) for d in _defer])
-        )
+        # stack the per-batch rep VECTORS and mean on the HOST so the
+        # loss values are bitwise identical to the synchronous path's
+        # np.asarray(rep).mean() — one (k, nbatch) transfer either way
+        reps = np.asarray(jnp.stack([d["rep"] for d in _defer]))
         dt = max(time.time() - _group_t0[0], 1e-9) / len(_defer)
-        for d, m in zip(_defer, means):
-            epoch_loss = float(m)
+        for d, row in zip(_defer, reps):
+            epoch_loss = float(row.mean())
             loss_vec.append(epoch_loss)
             TLOG(
                 f"[{d['epoch'] + 1:>20}] {epoch_loss:>20.6f}"

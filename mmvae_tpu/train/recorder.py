@@ -257,7 +257,9 @@ class LatentRecorder:
         # snapshot the packer indices INTO the handle: the writer thread
         # finishes this stage later, and a subsequent _stage_params with
         # a different leaf set would rebind self._packer_idx under it
-        return flat, out, treedef, list(self._packer_idx or [])
+        # (no packable leaf -> flat is None and the indices are unused)
+        idx = list(self._packer_idx) if flat is not None else []
+        return flat, out, treedef, idx
 
     def _finish_params(self, staged):
         """Fetch a :meth:`_stage_params` handle (ONE packed transfer +

@@ -424,4 +424,3 @@ def test_use_kernel_batch_gate(monkeypatch):
     assert not nb_step._use_kernel(20000, nb_step._SLOT_CAP // 128 + 8)
     # the tile helper itself floors at 128 lanes
     assert nb_step._tile_for(nb_step._SLOT_CAP // 128) == 128
-

@@ -263,21 +263,6 @@ class TestJointParity:
                 np.asarray(grads[name]["bias"]), mod.bias.grad.numpy(),
                 rtol=1e-3, atol=1e-5, err_msg=name)
 
-    def test_fused_step_report_matches(self, joint_setup):
-        """The fused step path (XLA fallback on CPU) against torch; the
-        fused step always runs training=True, so compare through the
-        XLA forward at the same noise draws instead: here we only check
-        the eval-mode fused report formula equivalence by rebuilding
-        the composite from forward()."""
-        model, params, tm, x = joint_setup
-        tx = torch.tensor(x)
-        want = float(t_joint_loss(tx, tm(tx), self.beta))
-        # eval-mode generic forward feeding the same composite the
-        # fused path computes
-        out = model.forward(params, jnp.asarray(x), jax.random.PRNGKey(0),
-                            training=False)
-        got = float(vmfnb_composite_loss(jnp.asarray(x), out, self.beta))
-        np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
 # ----------------------------------------------------------------------
