@@ -412,3 +412,30 @@ def test_fetch_params_leaves_no_device_refs(tmp_path):
     np.testing.assert_array_equal(out["w"], np.ones((3, 2)))
     assert out["steps"] == 7
     assert out["host"] is params["host"]
+
+
+def test_stage_params_snapshot_and_no_packable(tmp_path):
+    """Round-4 review regressions: (a) a tree with NO packable f32
+    device leaf must stage/fetch without crashing; (b) a staged handle
+    must keep its own packer indices — a later stage with a different
+    leaf set must not corrupt an earlier pending handle."""
+    from mmvae_tpu.train.recorder import LatentRecorder
+
+    rec = LatentRecorder(str(tmp_path / "hdr"), 2, 4,
+                         encode_fn=lambda p, x: x)
+    # (a) no packable leaf
+    out = rec._fetch_params({"host": np.zeros(2, np.float32),
+                             "n": jnp.asarray(3, jnp.int32)})
+    assert out["n"] == 3 and isinstance(out["host"], np.ndarray)
+
+    # (b) interleaved stages with different packable leaf sets
+    p1 = {"a": jnp.ones((2, 3), jnp.float32),
+          "b": jnp.full((4,), 2.0, jnp.float32)}
+    staged1 = rec._stage_params(p1)
+    p2 = {"a": jnp.full((5,), 4.0, jnp.float32)}  # different key set
+    staged2 = rec._stage_params(p2)  # rebinds rec._packer_idx
+    out1 = rec._finish_params(staged1)
+    out2 = rec._finish_params(staged2)
+    np.testing.assert_array_equal(out1["a"], np.ones((2, 3)))
+    np.testing.assert_array_equal(out1["b"], np.full((4,), 2.0))
+    np.testing.assert_array_equal(out2["a"], np.full((5,), 4.0))
