@@ -125,6 +125,11 @@ class TrainingOptions:
     # dimension D over a 'model' mesh axis of this size; the fused step
     # kernels run on local D slices with psum'd normalizers.
     tensor_parallel: int = 1
+    # On-device epoch-loss fetches drain in groups of this size when
+    # stderr is not a TTY, checkpointing is off, and the run is
+    # single-host (each per-epoch sync costs a full tunnel drain on
+    # remote devices).  0 = keep the MMVAE_REPORT_EVERY env default.
+    report_every: int = 0
 
     @staticmethod
     def add_args(p: argparse.ArgumentParser) -> None:
@@ -161,6 +166,10 @@ class TrainingOptions:
                        default=int(os.environ.get("MMVAE_HOST_ID", "0")))
         p.add_argument("--tensor_parallel", "--tp", dest="tensor_parallel",
                        type=int, default=1)
+        p.add_argument("--report_every", type=int, default=0,
+                       help="batch per-epoch loss fetches in groups of "
+                            "N on-device epochs (0 = MMVAE_REPORT_EVERY "
+                            "env, default 8 when stderr is not a TTY)")
 
     @classmethod
     def from_args(cls, ns: argparse.Namespace) -> "TrainingOptions":
@@ -178,6 +187,7 @@ class TrainingOptions:
             coordinator=getattr(ns, "coordinator", ""),
             num_hosts=getattr(ns, "num_hosts", 1),
             host_id=getattr(ns, "host_id", 0),
+            report_every=getattr(ns, "report_every", 0),
             tensor_parallel=getattr(ns, "tensor_parallel", 1),
         )
 

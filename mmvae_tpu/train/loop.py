@@ -1227,8 +1227,9 @@ def train_vae_model(
     _defer_every = 1
     if (not sys.stderr.isatty() and on_epoch_end is None
             and jax.process_count() == 1):
-        _defer_every = max(1, int(os.environ.get("MMVAE_REPORT_EVERY",
-                                                 "8")))
+        _defer_every = getattr(opt, "report_every", 0) or max(
+            1, int(os.environ.get("MMVAE_REPORT_EVERY", "8"))
+        )
     _group_t0 = [time.time()]
 
     def _drain_deferred():
