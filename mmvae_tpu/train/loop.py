@@ -1231,6 +1231,7 @@ def train_vae_model(
             1, int(os.environ.get("MMVAE_REPORT_EVERY", "8"))
         )
     _group_t0 = [time.time()]
+    _seen_record = [False]
 
     def _drain_deferred():
         if not _defer:
@@ -1303,12 +1304,16 @@ def train_vae_model(
             if _defer_every > 1:
                 _defer.append(dict(epoch=epoch, rep=rep,
                                    timer=timer.summary()))
-                # the first epoch drains alone: it carries the one-time
-                # compile, which would otherwise pollute its whole
-                # group's reported throughput
+                # the first epoch AND the first recording epoch drain
+                # alone: each carries a one-time compile (the plain and
+                # the record-variant epoch program) that would otherwise
+                # pollute its whole group's reported throughput
+                first_rec = record_now and not _seen_record[0]
+                if record_now:
+                    _seen_record[0] = True
                 if len(_defer) >= _defer_every \
                         or epoch == opt.max_epoch - 1 \
-                        or epoch == start_epoch:
+                        or epoch == start_epoch or first_rec:
                     _drain_deferred()
                 continue
             epoch_loss = float(np.asarray(rep).mean())
