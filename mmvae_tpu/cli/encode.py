@@ -164,10 +164,22 @@ def main(argv=None) -> int:
     # byte/count (int8, the narrowest possible) an over-budget N x D
     # can never densify, so skip building the memory block entirely
     dense_ok = N % ns.batch_size == 0 and 0 < N * D <= dense_budget
+    if N % ns.batch_size != 0:
+        TLOG(f"resident fast path skipped: N={N} not divisible by "
+             f"--batch_size {ns.batch_size} (pick a divisor batch size "
+             f"for the fast sweep)")
+    elif not dense_ok:
+        TLOG(f"resident fast path skipped: N*D={N * D / 1e6:,.0f} MB "
+             f"at 1 byte/count exceeds MMVAE_DENSE_BYTES="
+             f"{dense_budget / 1e6:,.0f} MB")
     if dense_ok:
         blk = _as_memory_block(db)
         vd = getattr(blk, "val_dtype", np.float32)
         dense_ok = N * D * np.dtype(vd).itemsize <= dense_budget
+        if not dense_ok:
+            TLOG(f"resident fast path skipped: {np.dtype(vd).name} "
+                 f"matrix is {N * D * np.dtype(vd).itemsize / 1e6:,.0f} "
+                 f"MB > MMVAE_DENSE_BYTES={dense_budget / 1e6:,.0f} MB")
     if dense_ok:
         import time
 

@@ -1,0 +1,179 @@
+"""Host-resident shard store for beyond-HBM rotation training.
+
+The reference's defining capability is out-of-core training: dataset
+size is bounded by disk, not memory (reference: include/mmvae_io.hh:
+49-141 — BGZF-indexed random access; include/mmutil_index.hh:22-34).
+On TPU the analogous middle tier is *host RAM beyond HBM*: when the
+device-resident layouts (dense or padded ELL, :mod:`mmvae_tpu.ops
+.densify`) exceed the HBM budget, the dataset is partitioned into R
+shards of whole batches that live in host memory and rotate through
+HBM, with the next shard's host->device transfer overlapped against
+the current shard's compute (double-buffered; see
+``Trainer.make_rotating_epoch``).
+
+Layout per shard mirrors the resident tiers and is chosen to minimize
+the per-epoch transfer volume:
+
+- ``dense``: (rows, D) in the narrowest lossless count dtype — the
+  row-gather fast layout, best for dense-ish matrices;
+- ``ell``: (rows, k_max) padded index/value pairs — nnz-proportional,
+  best for sparse matrices; indices ship as int16 when D allows
+  (halving the index bytes over the host link) and are widened
+  on device post-gather (:func:`~mmvae_tpu.ops.densify
+  .densify_gathered`).
+
+Shards are whole-batch row ranges of the sequential wrap-around
+schedule (reference: mmvae_alg.hh:261-266): batch ``b`` covers rows
+``[bB, bB+B) mod ntot``, so shard r holding batches ``[b0, b1)`` holds
+rows ``[b0*B, b1*B) mod ntot`` *materialized in schedule order* —
+every batch, including the final wrap-around one, is a contiguous
+local slice of its shard.  Trajectories are bitwise-equal to the
+resident paths (same values, same PRNG schedule; tested in
+tests/test_rotate.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+
+
+@dataclass
+class Shard:
+    b0: int                      # first global batch id
+    nb: int                      # number of batches
+    arrays: tuple                # host arrays: (dense,) or (rows, vals)
+
+
+@dataclass
+class ShardStore:
+    layout: str                  # "dense" | "ell"
+    D: int
+    ntot: int
+    B: int
+    nbatch: int
+    val_dtype: np.dtype
+    shards: list[Shard] = field(default_factory=list)
+
+    @property
+    def nshards(self) -> int:
+        return len(self.shards)
+
+    def shard_bytes(self, r: int) -> int:
+        return sum(a.nbytes for a in self.shards[r].arrays)
+
+    def put(self, r: int) -> tuple:
+        """Start the async host->device transfer of shard ``r``.
+
+        Returns device arrays immediately; the copy proceeds in the
+        background, overlapping with whatever compute is queued."""
+        return tuple(jax.device_put(a) for a in self.shards[r].arrays)
+
+    @classmethod
+    def build(cls, block, B: int, shard_budget: int | None = None,
+              layout: str | None = None) -> "ShardStore":
+        """Partition ``block`` (an in-memory CSC data block) into
+        host-resident shards of whole batches, each within
+        ``shard_budget`` bytes (MMVAE_SHARD_BYTES, default 2 GB — two
+        in-flight buffers fit the default 6 GB HBM budget with
+        headroom for params/activations)."""
+        from ..io import native
+
+        if shard_budget is None:
+            shard_budget = int(
+                os.environ.get("MMVAE_SHARD_BYTES", 2 << 30)
+            )
+        rows_c, vals_c, indptr = block.csc_arrays()
+        vd = np.dtype(getattr(block, "val_dtype", np.float32))
+        D, ntot = block.nfeature(), block.ntot()
+        k_max = block.k_max()
+        nbatch = ntot // B + (1 if ntot % B else 0)
+
+        idx_dtype = np.int16 if D < (1 << 15) - 1 else np.int32
+        dense_row = D * vd.itemsize
+        ell_row = k_max * (np.dtype(idx_dtype).itemsize + vd.itemsize)
+        if layout is None:
+            layout = os.environ.get("MMVAE_SHARD_LAYOUT") or (
+                "dense" if dense_row <= ell_row else "ell"
+            )
+        assert layout in ("dense", "ell"), layout
+        row_bytes = dense_row if layout == "dense" else ell_row
+
+        # balanced whole-batch shards under the budget: R minimal, so
+        # at most two distinct shard sizes -> at most two compiled
+        # epoch-shard programs
+        cap = max(1, shard_budget // max(1, row_bytes * B))
+        R = -(-nbatch // cap)
+        s = -(-nbatch // R)
+
+        store = cls(layout=layout, D=D, ntot=ntot, B=B, nbatch=nbatch,
+                    val_dtype=vd)
+
+        ell_rows = ell_vals = None
+        if layout == "ell":
+            # ONE global host ELL fill, then shards are row slices
+            # (views except the wrap-padded final shard)
+            if native.available() and k_max > 0:
+                ell_rows, ell_vals = native.ell_fill(
+                    rows_c, vals_c, indptr, k_max, vd
+                )
+            else:
+                counts = np.diff(indptr)
+                ell_rows = np.full((ntot, k_max), -1, np.int32)
+                ell_vals = np.zeros((ntot, k_max), vd)
+                if len(rows_c):
+                    col_ids = np.repeat(
+                        np.arange(ntot, dtype=np.int64), counts
+                    )
+                    offs = (np.arange(len(rows_c), dtype=np.int64)
+                            - np.repeat(indptr[:-1].astype(np.int64),
+                                        counts))
+                    ell_rows[col_ids, offs] = rows_c
+                    ell_vals[col_ids, offs] = vals_c
+            if idx_dtype is np.int16:
+                ell_rows = ell_rows.astype(np.int16)  # -1 pad fits
+
+        for r in range(R):
+            b0, b1 = r * s, min(nbatch, (r + 1) * s)
+            ids = np.arange(b0 * B, b1 * B, dtype=np.int64) % ntot
+            if layout == "dense":
+                if native.available():
+                    x = native.dense_fill(rows_c, vals_c, indptr, D,
+                                          vd, ids)
+                else:
+                    x = _dense_fill_np(rows_c, vals_c, indptr, D, vd,
+                                       ids)
+                arrays = (x,)
+            else:
+                lo, hi = b0 * B, b1 * B
+                if hi <= ntot:
+                    arrays = (ell_rows[lo:hi], ell_vals[lo:hi])
+                else:  # final shard wraps: materialize head rows after
+                    arrays = (
+                        np.concatenate([ell_rows[lo:ntot],
+                                        ell_rows[:hi - ntot]]),
+                        np.concatenate([ell_vals[lo:ntot],
+                                        ell_vals[:hi - ntot]]),
+                    )
+            store.shards.append(Shard(b0=b0, nb=b1 - b0, arrays=arrays))
+        return store
+
+
+def _dense_fill_np(rows_c, vals_c, indptr, D, vd, ids):
+    """Pure-numpy subset densify (fallback when the native extension is
+    unavailable): one vectorized multi-range gather + scatter."""
+    starts = indptr[ids]
+    cnt = indptr[ids + 1] - starts
+    out = np.zeros((len(ids), D), vd)
+    tot = int(cnt.sum())
+    if tot:
+        cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        pos = (np.arange(tot, dtype=np.int64)
+               - np.repeat(cum, cnt) + np.repeat(starts, cnt))
+        out_row = np.repeat(np.arange(len(ids)), cnt)
+        out[out_row, rows_c[pos]] = vals_c[pos]
+    return out

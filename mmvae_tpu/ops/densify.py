@@ -155,9 +155,21 @@ def densify_ell(
     values), matching the duplicate-aware host loader
     (reference: include/mmvae_io.hh:122-131).
     """
-    r = ell_rows[cols]                      # (B, K) row indices, -1 pad
-    v = ell_vals[cols]                      # (B, K)
+    return densify_gathered(ell_rows[cols], ell_vals[cols], D)
+
+
+def densify_gathered(r: jax.Array, v: jax.Array, D: int) -> jax.Array:
+    """Scatter pre-gathered (B, K) ELL slices into a dense (B, D) batch.
+
+    Split out of :func:`densify_ell` so contiguous batch schedules (the
+    rotating-shard epoch) can replace the row gather with a cheaper
+    ``dynamic_slice``.  ``r`` may be any signed integer dtype — the
+    rotating tier ships int16 indices over the host link when D allows
+    and widens here, post-gather, where the slice is only (B, K).
+    """
     B, K = r.shape
+    if r.dtype != jnp.int32:
+        r = r.astype(jnp.int32)
     # Row indices within a column are unique (CSC), so a scatter-SET
     # with unique_indices unlocks XLA's faster lowering; padded entries
     # are routed out of bounds and dropped.  Measured ~20% faster than
@@ -165,7 +177,7 @@ def densify_ell(
     # (possibly int8/int16 — see DeviceCSC).
     r_oob = jnp.where(r >= 0, r, D)
     b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K))
-    out = jnp.zeros((B, D), ell_vals.dtype)
+    out = jnp.zeros((B, D), v.dtype)
     return out.at[b_idx, r_oob].set(v, mode="drop", unique_indices=True)
 
 

@@ -845,7 +845,10 @@ def _boot_fwd_impl(x, zm, c, zn, depth, wd, wc, bias2, wn, bias_n, pb,
     # (per-row depth factors out of the row sum); the kernel no longer
     # accumulates it.  depth == 0 -> rsum == 0 and the true cotangent is
     # annihilated by softplus' sigmoid upstream: guard the 0/0 only.
-    dd = rsum / jnp.maximum(dpp, 1e-30)
+    # PRECONDITION: depth >= 0 (it is a softplus/row-sum product at every
+    # call site); a negative depth would need the exact rowsum(dmu*pe)
+    # instead, so zero the undefined branch rather than clamping it.
+    dd = jnp.where(dpp > 0, rsum / jnp.maximum(dpp, 1e-30), 0.0)
     fout, u2 = _finish_call(zmp, cp, lse, rsum, W, D=D)
     if model_axis is not None:
         u2 = jax.lax.psum(u2, model_axis)

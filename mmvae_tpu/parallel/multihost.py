@@ -30,13 +30,23 @@ from ..data.pipeline import sequential_batches
 def init_multihost(coordinator: str | None = None,
                    num_processes: int | None = None,
                    process_id: int | None = None) -> None:
-    """Initialize jax.distributed (no-op when single-process)."""
+    """Initialize jax.distributed (no-op when single-process).
+
+    The init timeout is bounded (MMVAE_DIST_TIMEOUT, default 120 s
+    instead of jax's 300 s) so a peer that never comes up fails fast
+    enough for a supervisor — or the test suite's retry wrapper — to
+    relaunch the job instead of hanging past its own deadline."""
     if num_processes is None or num_processes <= 1:
         return
+    import os
+
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id,
+        initialization_timeout=int(
+            os.environ.get("MMVAE_DIST_TIMEOUT", "120")
+        ),
     )
 
 

@@ -556,6 +556,185 @@ class Trainer:
         return run
 
     # ------------------------------------------------------------------
+    def make_rotating_epoch(self, store, covar_csc, ntot: int, B: int,
+                            covar_dim: int = 1, encode_fn=None,
+                            extra_fn=None):
+        """Beyond-HBM epochs: rotate host-resident shards through HBM.
+
+        The TPU answer to the reference's out-of-core training
+        (mmvae_io.hh:49-141): when neither the dense nor the ELL
+        resident layout fits the HBM budget, the dataset lives in host
+        RAM as R whole-batch shards (:class:`~mmvae_tpu.data.shards
+        .ShardStore`) and each epoch runs R shard-scan dispatches.
+        Shard r+1's async host->device transfer is issued *before*
+        shard r's compute is dispatched, so the transfer rides behind
+        the compute (double-buffered); a small host sync on shard
+        r-1's report keeps at most two shard buffers in flight.  The
+        first shard of the *next* epoch is prefetched behind the last
+        shard's compute, so steady-state epochs never wait on a cold
+        transfer.
+
+        Batch values, schedule, and PRNG fold-in chain are identical to
+        :meth:`make_ondevice_epoch` — trajectories are bitwise-equal to
+        the resident paths (tests/test_rotate.py).
+        """
+        from ..ops.densify import densify_ell, densify_gathered
+
+        nbatch = store.nbatch
+        D = store.D
+        Dc = covar_csc.D if covar_csc is not None else covar_dim
+        covar_arrs = (
+            (covar_csc.ell_rows, covar_csc.ell_vals)
+            if covar_csc is not None else None
+        )
+        dense_mode = store.layout == "dense"
+        fast = self.fast
+
+        def make_shard_fn(record: bool):
+            # one program per (shard size, record) — ShardStore builds
+            # at most two distinct sizes, so at most two compiles each
+            def shard_fn(params, opt_state, epoch_f, base_key, b0,
+                         data, covar, rand=None):
+                ekey = jax.random.fold_in(base_key,
+                                          jnp.asarray(epoch_f, jnp.int32))
+                nb_s = data[0].shape[0] // B  # rows = nb * B exactly
+                if rand is not None:
+                    # slice this shard's rows out of the full-epoch
+                    # pre-drawn rand (leading dim nbatch) — bitwise the
+                    # same draws as the resident epoch's xs slices
+                    rand = jax.tree_util.tree_map(
+                        lambda a: jax.lax.dynamic_slice_in_dim(
+                            a, b0, nb_s, 0), rand)
+                b_loc = jnp.arange(nb_s, dtype=jnp.int32)
+                if fast is not None:
+                    carry0 = (fast.pack(params),
+                              fast.pack_opt_state(opt_state))
+                    xs = (b_loc, rand)
+                else:
+                    carry0 = (params, opt_state)
+                    xs = (b_loc, None)
+
+                def scan_body(carry, inp):
+                    st, opt_st = carry
+                    i, rnd = inp
+                    b = b0 + i  # global batch id (PRNG/kl schedule)
+                    if dense_mode:
+                        x = jax.lax.dynamic_slice_in_dim(
+                            data[0], i * B, B, 0)
+                    else:
+                        er = jax.lax.dynamic_slice_in_dim(
+                            data[0], i * B, B, 0)
+                        ev = jax.lax.dynamic_slice_in_dim(
+                            data[1], i * B, B, 0)
+                        x = densify_gathered(er, ev, D)
+                    if fast is None and jnp.issubdtype(x.dtype,
+                                                      jnp.integer):
+                        x = x.astype(jnp.float32)
+                    if covar is not None:
+                        cols = (b * B
+                                + jnp.arange(B, dtype=jnp.int32)) % ntot
+                        c = densify_ell(covar[0], covar[1], cols, Dc)
+                        if jnp.issubdtype(c.dtype, jnp.integer):
+                            c = c.astype(jnp.float32)
+                    else:
+                        c = jnp.ones((B, covar_dim), jnp.float32)
+                    if fast is not None:
+                        st, opt_st, rep = fast.batch_step(
+                            st, opt_st, x, c, epoch_f, rand=rnd
+                        )
+                    else:
+                        key = jax.random.fold_in(ekey, b)
+                        st, opt_st, rep = self._batch_step(
+                            st, opt_st, x, c, epoch_f, key
+                        )
+                    out = rep
+                    if record:
+                        p_rec = (fast.unpack(st) if fast is not None
+                                 else st)
+                        xr = (x.astype(jnp.float32)
+                              if jnp.issubdtype(x.dtype, jnp.integer)
+                              else x)
+                        out = (rep,) + _record_outputs(
+                            (encode_fn, extra_fn), p_rec, xr)
+                    return (st, opt_st), out
+
+                (st, opt_st), outs = jax.lax.scan(scan_body, carry0, xs)
+                if fast is not None:
+                    return (fast.unpack(st),
+                            fast.unpack_opt_state(opt_st), outs)
+                return st, opt_st, outs
+
+            return shard_fn
+
+        jitted = jax.jit(make_shard_fn(False), donate_argnums=(0, 1))
+        jitted_rec = (
+            jax.jit(make_shard_fn(True), donate_argnums=(0, 1))
+            if encode_fn is not None else None
+        )
+        if fast is not None:
+            b_ids = jnp.arange(nbatch, dtype=jnp.int32)
+            jdraw = jax.jit(lambda bk, ef: fast.draw_rand(
+                jax.random.fold_in(bk, jnp.asarray(ef, jnp.int32)),
+                b_ids, B,
+            ))
+        else:
+            jdraw = None
+
+        R = store.nshards
+        carry = {"idx": None, "dev": None}  # prefetched next shard
+
+        def run(params, opt_state, epoch: int, record: bool = False):
+            fn = (jitted_rec if (record and jitted_rec is not None)
+                  else jitted)
+            ef = jnp.float32(epoch)
+            rand = (jdraw(self._base_key, ef) if jdraw is not None
+                    else None)
+            reps, encs, extras = [], [], []
+            prev_rep = None
+            for r in range(R):
+                if carry["idx"] == r:
+                    dev = carry["dev"]
+                else:
+                    dev = store.put(r)
+                if R > 1:
+                    # issue shard r+1's (or next epoch's shard 0's)
+                    # transfer NOW so it overlaps shard r's compute
+                    nxt = (r + 1) % R
+                    carry["idx"], carry["dev"] = nxt, store.put(nxt)
+                params, opt_state, out = fn(
+                    params, opt_state, ef, self._base_key,
+                    jnp.asarray(store.shards[r].b0, jnp.int32),
+                    dev, covar_arrs, rand,
+                )
+                dev = None  # drop our ref; queued compute keeps it live
+                if record:
+                    rep, enc, extra = out
+                    encs.append(enc)
+                    extras.append(extra)
+                else:
+                    rep = out
+                reps.append(rep)
+                if prev_rep is not None:
+                    # backpressure: force shard r-1's report so its
+                    # (already consumed) buffers are freed before a
+                    # third transfer can queue — HBM holds at most the
+                    # current shard + the one in flight
+                    np.asarray(prev_rep)
+                prev_rep = rep
+            rep_all = jnp.concatenate(reps, axis=0)
+            if record:
+                enc_all = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *encs)
+                extra_all = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *extras)
+                return params, opt_state, (rep_all, enc_all, extra_all)
+            return params, opt_state, rep_all
+
+        run.can_record = encode_fn is not None
+        run.nshards = R
+        return run
+
+    # ------------------------------------------------------------------
     def make_ondevice_epoch_dp(self, data_dense_perm, ntot: int, B: int,
                                covar_dim: int = 1, encode_fn=None,
                                extra_fn=None):
@@ -1112,6 +1291,16 @@ def train_vae_model(
                      f"(~{need / 1e6:,.0f} MB; "
                      "--no_auto_ondevice to disable)")
                 ondevice = True
+            elif (need > budget and mesh is None
+                  and os.environ.get("MMVAE_ROTATE", "1") != "0"):
+                # beyond-HBM: the rotating-shard tier (host-resident
+                # shards double-buffered through HBM) still runs at
+                # device rate — far above the streaming host loop
+                TLOG(f"Auto-enabling rotating-shard on-device epochs "
+                     f"(~{need / 1e6:,.0f} MB exceeds the "
+                     f"{budget / 1e6:,.0f} MB resident budget; "
+                     "--no_auto_ondevice or MMVAE_ROTATE=0 to disable)")
+                ondevice = True
 
     epoch_runner = None
     if ondevice and mesh is not None:
@@ -1184,7 +1373,14 @@ def train_vae_model(
         data_mem = _as_memory_block(data_block)
         vd = np.dtype(getattr(data_mem, "val_dtype", np.float32))
         dense_bytes = ntot * data_mem.nfeature() * vd.itemsize
+        ell_bytes = ntot * data_mem.k_max() * (4 + vd.itemsize)
         dense_budget = int(os.environ.get("MMVAE_DENSE_BYTES", 6 << 30))
+        covar_csc = None
+        covar_dim = covar_block.nfeature()
+        if not _is_all_ones(covar_block):
+            covar_csc = DeviceCSC.from_memory_block(
+                _as_memory_block(covar_block)
+            )
         data_dense = None
         if 0 < dense_bytes <= dense_budget:
             TLOG(f"Loading data on device (dense-resident, "
@@ -1193,22 +1389,41 @@ def train_vae_model(
             import types
 
             data_csc = types.SimpleNamespace(D=data_mem.nfeature())
-        else:
+        elif (0 < ell_bytes <= dense_budget
+              or os.environ.get("MMVAE_ROTATE", "1") == "0"):
             TLOG("Loading data on device (ELL layout)")
             data_csc = DeviceCSC.from_memory_block(data_mem,
                                                    count_dtype="auto")
-        covar_csc = None
-        covar_dim = covar_block.nfeature()
-        if not _is_all_ones(covar_block):
-            covar_csc = DeviceCSC.from_memory_block(
-                _as_memory_block(covar_block)
+        else:
+            # Beyond-HBM tier (reference's out-of-core claim,
+            # mmvae_io.hh:49-141, at TPU rate): neither resident layout
+            # fits — rotate host-resident shards through HBM with the
+            # next shard's transfer double-buffered behind compute.
+            from ..data.shards import ShardStore
+
+            store = ShardStore.build(data_mem, B)
+            TLOG(f"Rotating {store.nshards} host-resident shards "
+                 f"through HBM ({store.layout} layout, "
+                 f"~{store.shard_bytes(0) / 1e6:,.0f} MB/shard; "
+                 f"dense {dense_bytes / 1e6:,.0f} MB and ELL "
+                 f"{ell_bytes / 1e6:,.0f} MB both exceed "
+                 f"MMVAE_DENSE_BYTES={dense_budget / 1e6:,.0f} MB)")
+            epoch_runner = trainer.make_rotating_epoch(
+                store, covar_csc, ntot, B, covar_dim,
+                encode_fn=(recorder.encode if recorder is not None
+                           else None),
+                extra_fn=(recorder.extra_fn if recorder is not None
+                          else None),
             )
-        epoch_runner = trainer.make_ondevice_epoch(
-            data_csc, covar_csc, ntot, B, covar_dim,
-            encode_fn=(recorder.encode if recorder is not None else None),
-            extra_fn=(recorder.extra_fn if recorder is not None else None),
-            data_dense=data_dense,
-        )
+        if epoch_runner is None:
+            epoch_runner = trainer.make_ondevice_epoch(
+                data_csc, covar_csc, ntot, B, covar_dim,
+                encode_fn=(recorder.encode if recorder is not None
+                           else None),
+                extra_fn=(recorder.extra_fn if recorder is not None
+                          else None),
+                data_dense=data_dense,
+            )
 
     # device trace of the whole training phase when MMVAE_TRACE_DIR is
     # set (SURVEY §5.1; no-op otherwise)
@@ -1230,6 +1445,15 @@ def train_vae_model(
         _defer_every = getattr(opt, "report_every", 0) or max(
             1, int(os.environ.get("MMVAE_REPORT_EVERY", "8"))
         )
+    elif getattr(opt, "report_every", 0) > 1:
+        # the user explicitly asked for batched fetches but a gate
+        # forces the synchronous path — say which one, don't be silent
+        why = ("stderr is a TTY (live loss line needs per-epoch sync)"
+               if sys.stderr.isatty() else
+               "per-epoch checkpoint callback is active"
+               if on_epoch_end is not None else
+               "multi-host run")
+        TLOG(f"--report_every {opt.report_every} ignored: {why}")
     _group_t0 = [time.time()]
     _seen_record = [False]
 
@@ -1260,203 +1484,208 @@ def train_vae_model(
         _defer.clear()
         _group_t0[0] = time.time()
 
-    for epoch in range(start_epoch, opt.max_epoch):
-        t0 = time.time()
-        timer.reset()
-        recording_now = (epoch + 1) % opt.recording == 0
-        reports = []
+    # the final drain/flush MUST also run on an exception or
+    # KeyboardInterrupt mid-group, or up to report_every-1 completed
+    # epochs' loss lines and metrics rows would be silently lost
+    try:
+        for epoch in range(start_epoch, opt.max_epoch):
+            t0 = time.time()
+            timer.reset()
+            recording_now = (epoch + 1) % opt.recording == 0
+            reports = []
 
-        record_now = recording_now and recorder is not None
-        if epoch_runner is not None and (
-            not record_now or epoch_runner.can_record
-        ):
-            if _defer_every > 1 and not _defer:
-                # fresh report group: start its clock HERE so time spent
-                # in an interleaved host-path epoch (or a drain) is not
-                # attributed to the group's cells/sec
-                _group_t0[0] = time.time()
-            with timer.phase("step"), annotate("ondevice_epoch"):
-                params, opt_state, out = epoch_runner(
-                    params, opt_state, epoch, record=record_now
-                )
-            if record_now:
-                rep, enc, extra = out
-                if jax.process_count() > 1:
-                    # fetch only this host's rows; `batches` is already
-                    # the host-local schedule (sharded_batches)
-                    from ..parallel.multihost import local_rows
-
-                    enc = (local_rows(enc[0]), local_rows(enc[1]))
-                    if recorder.extra_fn is not None:
-                        extra = local_rows(extra)
-                with timer.phase("record_submit"):
-                    # non-blocking: the writer thread fetches the
-                    # posteriors (syncing on this epoch's device
-                    # compute there) and writes artifacts while the
-                    # next epoch runs
-                    recorder.submit_epoch(
-                        batches, enc,
-                        extra if recorder.extra_fn is not None else None,
-                        params, epoch,
+            record_now = recording_now and recorder is not None
+            if epoch_runner is not None and (
+                not record_now or epoch_runner.can_record
+            ):
+                if _defer_every > 1 and not _defer:
+                    # fresh report group: start its clock HERE so time spent
+                    # in an interleaved host-path epoch (or a drain) is not
+                    # attributed to the group's cells/sec
+                    _group_t0[0] = time.time()
+                with timer.phase("step"), annotate("ondevice_epoch"):
+                    params, opt_state, out = epoch_runner(
+                        params, opt_state, epoch, record=record_now
                     )
-            else:
-                rep = out
-            if _defer_every > 1:
-                _defer.append(dict(epoch=epoch, rep=rep,
-                                   timer=timer.summary()))
-                # the first epoch AND the first recording epoch drain
-                # alone: each carries a one-time compile (the plain and
-                # the record-variant epoch program) that would otherwise
-                # pollute its whole group's reported throughput
-                first_rec = record_now and not _seen_record[0]
                 if record_now:
-                    _seen_record[0] = True
-                if len(_defer) >= _defer_every \
-                        or epoch == opt.max_epoch - 1 \
-                        or epoch == start_epoch or first_rec:
-                    _drain_deferred()
+                    rep, enc, extra = out
+                    if jax.process_count() > 1:
+                        # fetch only this host's rows; `batches` is already
+                        # the host-local schedule (sharded_batches)
+                        from ..parallel.multihost import local_rows
+
+                        enc = (local_rows(enc[0]), local_rows(enc[1]))
+                        if recorder.extra_fn is not None:
+                            extra = local_rows(extra)
+                    with timer.phase("record_submit"):
+                        # non-blocking: the writer thread fetches the
+                        # posteriors (syncing on this epoch's device
+                        # compute there) and writes artifacts while the
+                        # next epoch runs
+                        recorder.submit_epoch(
+                            batches, enc,
+                            extra if recorder.extra_fn is not None else None,
+                            params, epoch,
+                        )
+                else:
+                    rep = out
+                if _defer_every > 1:
+                    _defer.append(dict(epoch=epoch, rep=rep,
+                                       timer=timer.summary()))
+                    # the first epoch AND the first recording epoch drain
+                    # alone: each carries a one-time compile (the plain and
+                    # the record-variant epoch program) that would otherwise
+                    # pollute its whole group's reported throughput
+                    first_rec = record_now and not _seen_record[0]
+                    if record_now:
+                        _seen_record[0] = True
+                    if len(_defer) >= _defer_every \
+                            or epoch == opt.max_epoch - 1 \
+                            or epoch == start_epoch or first_rec:
+                        _drain_deferred()
+                    continue
+                epoch_loss = float(np.asarray(rep).mean())
+                loss_vec.append(epoch_loss)
+                dt = time.time() - t0
+                TLOG(
+                    f"[{epoch + 1:>20}] {epoch_loss:>20.6f}"
+                    f"  ({nbatch * B / dt:,.0f} cells/sec, on-device)"
+                )
+                metrics.log_epoch(
+                    epoch, loss=epoch_loss,
+                    kl_weight=float(kl_weight_schedule(epoch, kl[0], kl[1], kl[2])),
+                    cells_per_sec=round(nbatch * B / dt, 1), ondevice=True,
+                    **{f"time_{k}": round(v, 4)
+                       for k, v in timer.summary().items()},
+                )
+                if on_epoch_end is not None:
+                    on_epoch_end(epoch, params, opt_state, loss_vec)
                 continue
-            epoch_loss = float(np.asarray(rep).mean())
+            # host-path epoch (e.g. recording without step-record support):
+            # flush any deferred on-device reports first so loss_vec stays
+            # in epoch order
+            _drain_deferred()
+
+            # Recording epochs: when the superbatch record step is available
+            # (single host, no TP) the posteriors ride as scan outputs of the
+            # jitted step — recording costs like training.  Otherwise fall
+            # back to one batch per dispatch so the recorder sees the model
+            # right after each batch's updates (mmvae_alg.hh:315-317).
+            fast_record = (recording_now and recorder is not None
+                           and trainer.can_step_record(
+                               needs_extra=recorder.extra_fn is not None))
+            S_eff = 1 if (recording_now and recorder is not None
+                          and not fast_record) else S
+            # reference-style live `\r[batch] loss` line (mmvae_alg.hh:283):
+            # interactive primary-host runs only — reading the loss forces a
+            # per-superbatch device sync that pipelined runs must not pay.
+            # Rate-limited to ~1 Hz so an interactive run pays at most one
+            # ~27 ms tunnel sync per second instead of one per superbatch
+            # (which measured as a ~40% throughput cliff keyed on isatty).
+            _live_batch_display = (
+                sys.stderr.isatty() and jax.process_index() == 0
+            )
+            _live_last_t = 0.0
+
+            loader = PrefetchLoader(data_block, covar_block, batches,
+                                    depth=2 * S_eff)
+            buf: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+            counter = 0
+
+            def flush():
+                nonlocal params, opt_state, counter, _live_last_t
+                if not buf:
+                    return
+                with timer.phase("step"), annotate("train_step"):
+                    x_sb = np.stack([b[1] for b in buf])
+                    c_sb = np.stack([b[2] for b in buf])
+                    ids = np.arange(counter, counter + len(buf))
+                    if fast_record:
+                        params, opt_state, (rep, enc, extra) = (
+                            trainer.step_record(
+                                params, opt_state, x_sb, c_sb, epoch, ids,
+                                recorder.encode, recorder.extra_fn,
+                            )
+                        )
+                    else:
+                        params, opt_state, rep = trainer.step(
+                            params, opt_state, x_sb, c_sb, epoch, ids
+                        )
+                    reports.append(rep)
+                if _live_batch_display:
+                    # reference per-batch progress line (mmvae_alg.hh:283-284)
+                    # — TTY-only AND rate-limited, because reading `rep` here
+                    # forces a device sync the pipelined path must not pay
+                    nonlocal_now = time.monotonic()
+                    if nonlocal_now - _live_last_t >= 1.0:
+                        sys.stderr.write(
+                            f"\r[{counter + len(buf):>20}] "
+                            f"{float(np.asarray(rep)[-1]):>20.6f}"
+                        )
+                        _live_last_t = nonlocal_now
+                if fast_record:
+                    with timer.phase("record"):
+                        extra = (extra if recorder.extra_fn is not None
+                                 else None)
+                        if jax.process_count() > 1:
+                            # each host ingests its own rows; `buf` already
+                            # carries the host-local batch slices
+                            from ..parallel.multihost import local_rows
+
+                            enc = (local_rows(enc[0]), local_rows(enc[1]))
+                            if extra is not None:
+                                extra = local_rows(extra)
+                        recorder.ingest(np.stack([b[0] for b in buf]), enc,
+                                        extra)
+                elif recording_now and recorder is not None:
+                    with timer.phase("record"):
+                        for bidx, x, _ in buf:
+                            recorder.update_on_batch(params, x, bidx)
+                counter += len(buf)
+                buf.clear()
+
+            with timer.phase("input"), annotate("input_pipeline"):
+                it = iter(loader)
+            while True:
+                with timer.phase("input"):
+                    item = next(it, None)
+                if item is None:
+                    break
+                buf.append(item)
+                if len(buf) == S_eff:
+                    flush()
+            flush()
+
+            if _live_batch_display:
+                sys.stderr.write("\r")  # clear the batch line (alg.hh:323)
+            epoch_losses = np.concatenate([np.asarray(r) for r in reports])
+            epoch_loss = float(epoch_losses.mean())
             loss_vec.append(epoch_loss)
             dt = time.time() - t0
             TLOG(
                 f"[{epoch + 1:>20}] {epoch_loss:>20.6f}"
-                f"  ({nbatch * B / dt:,.0f} cells/sec, on-device)"
+                f"  ({nbatch * B / dt:,.0f} cells/sec)"
             )
             metrics.log_epoch(
-                epoch, loss=epoch_loss,
-                kl_weight=float(kl_weight_schedule(epoch, kl[0], kl[1], kl[2])),
-                cells_per_sec=round(nbatch * B / dt, 1), ondevice=True,
-                **{f"time_{k}": round(v, 4)
-                   for k, v in timer.summary().items()},
+                epoch,
+                loss=epoch_loss,
+                kl_weight=float(
+                    kl_weight_schedule(epoch, kl[0], kl[1], kl[2])
+                ),
+                cells_per_sec=round(nbatch * B / dt, 1),
+                **{f"time_{k}": round(v, 4) for k, v in timer.summary().items()},
             )
+
+            if recording_now and recorder is not None:
+                recorder.update_on_epoch(params, epoch)
             if on_epoch_end is not None:
                 on_epoch_end(epoch, params, opt_state, loss_vec)
-            continue
-        # host-path epoch (e.g. recording without step-record support):
-        # flush any deferred on-device reports first so loss_vec stays
-        # in epoch order
-        _drain_deferred()
 
-        # Recording epochs: when the superbatch record step is available
-        # (single host, no TP) the posteriors ride as scan outputs of the
-        # jitted step — recording costs like training.  Otherwise fall
-        # back to one batch per dispatch so the recorder sees the model
-        # right after each batch's updates (mmvae_alg.hh:315-317).
-        fast_record = (recording_now and recorder is not None
-                       and trainer.can_step_record(
-                           needs_extra=recorder.extra_fn is not None))
-        S_eff = 1 if (recording_now and recorder is not None
-                      and not fast_record) else S
-        # reference-style live `\r[batch] loss` line (mmvae_alg.hh:283):
-        # interactive primary-host runs only — reading the loss forces a
-        # per-superbatch device sync that pipelined runs must not pay.
-        # Rate-limited to ~1 Hz so an interactive run pays at most one
-        # ~27 ms tunnel sync per second instead of one per superbatch
-        # (which measured as a ~40% throughput cliff keyed on isatty).
-        _live_batch_display = (
-            sys.stderr.isatty() and jax.process_index() == 0
-        )
-        _live_last_t = 0.0
-
-        loader = PrefetchLoader(data_block, covar_block, batches,
-                                depth=2 * S_eff)
-        buf: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-        counter = 0
-
-        def flush():
-            nonlocal params, opt_state, counter, _live_last_t
-            if not buf:
-                return
-            with timer.phase("step"), annotate("train_step"):
-                x_sb = np.stack([b[1] for b in buf])
-                c_sb = np.stack([b[2] for b in buf])
-                ids = np.arange(counter, counter + len(buf))
-                if fast_record:
-                    params, opt_state, (rep, enc, extra) = (
-                        trainer.step_record(
-                            params, opt_state, x_sb, c_sb, epoch, ids,
-                            recorder.encode, recorder.extra_fn,
-                        )
-                    )
-                else:
-                    params, opt_state, rep = trainer.step(
-                        params, opt_state, x_sb, c_sb, epoch, ids
-                    )
-                reports.append(rep)
-            if _live_batch_display:
-                # reference per-batch progress line (mmvae_alg.hh:283-284)
-                # — TTY-only AND rate-limited, because reading `rep` here
-                # forces a device sync the pipelined path must not pay
-                nonlocal_now = time.monotonic()
-                if nonlocal_now - _live_last_t >= 1.0:
-                    sys.stderr.write(
-                        f"\r[{counter + len(buf):>20}] "
-                        f"{float(np.asarray(rep)[-1]):>20.6f}"
-                    )
-                    _live_last_t = nonlocal_now
-            if fast_record:
-                with timer.phase("record"):
-                    extra = (extra if recorder.extra_fn is not None
-                             else None)
-                    if jax.process_count() > 1:
-                        # each host ingests its own rows; `buf` already
-                        # carries the host-local batch slices
-                        from ..parallel.multihost import local_rows
-
-                        enc = (local_rows(enc[0]), local_rows(enc[1]))
-                        if extra is not None:
-                            extra = local_rows(extra)
-                    recorder.ingest(np.stack([b[0] for b in buf]), enc,
-                                    extra)
-            elif recording_now and recorder is not None:
-                with timer.phase("record"):
-                    for bidx, x, _ in buf:
-                        recorder.update_on_batch(params, x, bidx)
-            counter += len(buf)
-            buf.clear()
-
-        with timer.phase("input"), annotate("input_pipeline"):
-            it = iter(loader)
-        while True:
-            with timer.phase("input"):
-                item = next(it, None)
-            if item is None:
-                break
-            buf.append(item)
-            if len(buf) == S_eff:
-                flush()
-        flush()
-
-        if _live_batch_display:
-            sys.stderr.write("\r")  # clear the batch line (alg.hh:323)
-        epoch_losses = np.concatenate([np.asarray(r) for r in reports])
-        epoch_loss = float(epoch_losses.mean())
-        loss_vec.append(epoch_loss)
-        dt = time.time() - t0
-        TLOG(
-            f"[{epoch + 1:>20}] {epoch_loss:>20.6f}"
-            f"  ({nbatch * B / dt:,.0f} cells/sec)"
-        )
-        metrics.log_epoch(
-            epoch,
-            loss=epoch_loss,
-            kl_weight=float(
-                kl_weight_schedule(epoch, kl[0], kl[1], kl[2])
-            ),
-            cells_per_sec=round(nbatch * B / dt, 1),
-            **{f"time_{k}": round(v, 4) for k, v in timer.summary().items()},
-        )
-
-        if recording_now and recorder is not None:
-            recorder.update_on_epoch(params, epoch)
-        if on_epoch_end is not None:
-            on_epoch_end(epoch, params, opt_state, loss_vec)
-
-    _trace_scope.close()
-    _drain_deferred()  # safety net: epoch==max_epoch-1 already drains
-    if recorder is not None and hasattr(recorder, "flush"):
-        recorder.flush()  # join background artifact writes
+    finally:
+        _trace_scope.close()
+        _drain_deferred()  # safety net: epoch==max_epoch-1 already drains
+        if recorder is not None and hasattr(recorder, "flush"):
+            recorder.flush()  # join background artifact writes
     TLOG("Done training")
     return params, loss_vec
 

@@ -1,5 +1,10 @@
 """Multi-host sharded input: per-host slices assemble to the full batch."""
 
+import os
+import socket
+import subprocess
+import sys
+
 import numpy as np
 
 import jax
@@ -10,6 +15,52 @@ from mmvae_tpu.parallel.multihost import (
     sharded_batches,
 )
 from mmvae_tpu.parallel.mesh import make_mesh
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+# failure signatures of a flaky jax.distributed init (coordinator
+# barrier / connect timeouts under load on a loaded 1-core host)
+_INIT_FLAKE_MARKERS = (
+    "DEADLINE_EXCEEDED", "Timed out", "timed out", "UNAVAILABLE",
+    "Barrier", "failed to connect", "Connection refused",
+)
+
+
+def _run_multihost_pair(build, timeout=560, attempts=3):
+    """Launch the two-process pair built by ``build(port)``; retry on
+    distributed-init flakes so the whole suite can run as ONE pytest
+    invocation on this host (round-4 verdict weak #6).  init_multihost
+    bounds the init timeout (MMVAE_DIST_TIMEOUT) so a hung peer fails
+    fast enough for the retry to fit the budget."""
+    last = []
+    for attempt in range(attempts):
+        procs = build(_free_port())
+        outs, ok = [], True
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out.decode())
+            ok = ok and p.returncode == 0
+        if ok:
+            return outs
+        last = outs
+        flake = any(m in o for o in outs for m in _INIT_FLAKE_MARKERS)
+        if not flake:
+            break
+        sys.stderr.write(
+            f"[multihost] init flake, retry {attempt + 1}/{attempts - 1}\n"
+        )
+    raise AssertionError(
+        "multihost pair failed:\n" + "\n---\n".join(o[-2000:] for o in last)
+    )
 
 
 def test_host_slice_partition():
@@ -64,16 +115,8 @@ def test_two_process_cli_end_to_end(mtx_file, tmp_path):
     merge — trajectories and artifacts bitwise-equal to single-host
     (driver config #5 mechanics; SURVEY §5.8)."""
     import gzip
-    import os
-    import socket
-    import subprocess
-    import sys
 
     path, idx, dens = mtx_file
-
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
 
     def env_for(extra):
         env = dict(os.environ)
@@ -95,15 +138,12 @@ def test_two_process_cli_end_to_end(mtx_file, tmp_path):
         )
 
     mh_out = str(tmp_path / "mh")
-    procs = [
+    _run_multihost_pair(lambda port: [
         cli(mh_out,
             ["--coordinator", f"localhost:{port}", "--num_hosts", "2",
              "--host_id", str(h)], {})
         for h in range(2)
-    ]
-    for p in procs:
-        out, _ = p.communicate(timeout=560)
-        assert p.returncode == 0, out.decode()[-2000:]
+    ])
 
     sh_out = str(tmp_path / "sh")
     p = cli(sh_out, ["--no_auto_ondevice"], {})
@@ -139,16 +179,8 @@ def test_two_process_tp_matches_single(mtx_file, tmp_path):
     run must match a single-process 8-device --tensor_parallel 2 run:
     scores bitwise, artifacts to float precision."""
     import gzip
-    import os
-    import socket
-    import subprocess
-    import sys
 
     path, idx, dens = mtx_file
-
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
 
     def env_for(ndev):
         env = dict(os.environ)
@@ -171,15 +203,12 @@ def test_two_process_tp_matches_single(mtx_file, tmp_path):
         )
 
     mh_out = str(tmp_path / "mh")
-    procs = [
+    _run_multihost_pair(lambda port: [
         cli(mh_out, 4,
             ["--coordinator", f"localhost:{port}", "--num_hosts", "2",
              "--host_id", str(h)])
         for h in range(2)
-    ]
-    for p in procs:
-        out, _ = p.communicate(timeout=560)
-        assert p.returncode == 0, out.decode()[-2000:]
+    ])
 
     sh_out = str(tmp_path / "sh")
     p = cli(sh_out, 8, [])
@@ -216,16 +245,8 @@ def test_two_process_dp_ondevice_matches_single(mtx_file, tmp_path):
     8-device dp_shard on-device run exactly (same global 'data' axis
     => same per-shard PRNG)."""
     import gzip
-    import os
-    import socket
-    import subprocess
-    import sys
 
     path, idx, dens = mtx_file
-
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
 
     def env_for(ndev):
         env = dict(os.environ)
@@ -247,17 +268,12 @@ def test_two_process_dp_ondevice_matches_single(mtx_file, tmp_path):
         )
 
     mh_out = str(tmp_path / "mh")
-    procs = [
+    outs = _run_multihost_pair(lambda port: [
         cli(mh_out, 4,
             ["--coordinator", f"localhost:{port}", "--num_hosts", "2",
              "--host_id", str(h)])
         for h in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=560)
-        outs.append(out.decode())
-        assert p.returncode == 0, out.decode()[-2000:]
+    ])
     assert any("DP layout over 8 devices x 2 hosts" in o for o in outs), \
         outs[0][-1500:]
 

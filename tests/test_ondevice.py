@@ -155,8 +155,10 @@ def test_ondevice_ell_mode_matches_dense(setup, monkeypatch):
     data, covar, model = setup
     p_host, l_host = _train(data, covar, model, ondevice=False)
     monkeypatch.setenv("MMVAE_DENSE_BYTES", "0")
+    monkeypatch.setenv("MMVAE_ROTATE", "0")  # ELL, not the shard tier
     p_ell, l_ell = _train(data, covar, model, ondevice=True)
     monkeypatch.delenv("MMVAE_DENSE_BYTES")
+    monkeypatch.delenv("MMVAE_ROTATE")
     p_dense, l_dense = _train(data, covar, model, ondevice=True)
     np.testing.assert_allclose(l_host, l_ell, rtol=1e-6)
     np.testing.assert_allclose(l_ell, l_dense, rtol=1e-6)
