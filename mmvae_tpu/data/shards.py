@@ -58,6 +58,8 @@ class ShardStore:
     nbatch: int
     val_dtype: np.dtype
     shards: list[Shard] = field(default_factory=list)
+    pinned_idx: frozenset = frozenset()   # HBM-pinned shard indices
+    _cache: dict = field(default_factory=dict)
 
     @property
     def nshards(self) -> int:
@@ -67,20 +69,36 @@ class ShardStore:
         return sum(a.nbytes for a in self.shards[r].arrays)
 
     def put(self, r: int) -> tuple:
-        """Start the async host->device transfer of shard ``r``.
+        """Device arrays for shard ``r``.
 
-        Returns device arrays immediately; the copy proceeds in the
-        background, overlapping with whatever compute is queued."""
+        Pinned shards transfer once and stay HBM-resident (the hybrid
+        tier: only the overflow beyond the pin budget pays per-epoch
+        host->device traffic).  Rotating shards start a fresh async
+        transfer — the copy proceeds in the background, overlapping
+        with whatever compute is queued."""
+        if r in self.pinned_idx:
+            if r not in self._cache:
+                self._cache[r] = tuple(
+                    jax.device_put(a) for a in self.shards[r].arrays
+                )
+            return self._cache[r]
         return tuple(jax.device_put(a) for a in self.shards[r].arrays)
 
     @classmethod
     def build(cls, block, B: int, shard_budget: int | None = None,
-              layout: str | None = None) -> "ShardStore":
+              layout: str | None = None,
+              pin_budget: int | None = None) -> "ShardStore":
         """Partition ``block`` (an in-memory CSC data block) into
         host-resident shards of whole batches, each within
-        ``shard_budget`` bytes (MMVAE_SHARD_BYTES, default 2 GB — two
-        in-flight buffers fit the default 6 GB HBM budget with
-        headroom for params/activations)."""
+        ``shard_budget`` bytes (MMVAE_SHARD_BYTES; the training loop
+        defaults it to budget/8 so the two rotating double-buffers are
+        a small HBM tax).
+
+        ``pin_budget`` (MMVAE_PIN_BYTES) pins as many shards as fit
+        permanently in HBM; only the remainder rotates.  Pinned and
+        rotating shards are interleaved evenly across the epoch
+        (Bresenham spread) so each rotating transfer hides behind
+        several pinned shards' compute, not just its predecessor's."""
         from ..io import native
 
         if shard_budget is None:
@@ -160,6 +178,17 @@ class ShardStore:
                                         ell_vals[:hi - ntot]]),
                     )
             store.shards.append(Shard(b0=b0, nb=b1 - b0, arrays=arrays))
+
+        if pin_budget is None:
+            pin_budget = int(os.environ.get("MMVAE_PIN_BYTES", "0"))
+        if pin_budget > 0 and R > 1:
+            per = max(store.shard_bytes(i) for i in range(R))
+            P = min(R - 1, pin_budget // per)
+            n_rot = R - P
+            # rotating shards at evenly spread positions so their
+            # transfers overlap pinned compute, not each other
+            rot = {int(j * R / n_rot) for j in range(n_rot)}
+            store.pinned_idx = frozenset(range(R)) - rot
         return store
 
 

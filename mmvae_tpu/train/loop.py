@@ -681,7 +681,16 @@ class Trainer:
             jdraw = None
 
         R = store.nshards
-        carry = {"idx": None, "dev": None}  # prefetched next shard
+        rotating = [r for r in range(R) if r not in store.pinned_idx]
+        carry = {"idx": None, "dev": None}  # prefetched rotating shard
+
+        def _next_rot(after: int):
+            """First rotating index after ``after``, wrapping to the
+            next epoch's first rotating shard."""
+            for r in rotating:
+                if r > after:
+                    return r
+            return rotating[0] if rotating else None
 
         def run(params, opt_state, epoch: int, record: bool = False):
             fn = (jitted_rec if (record and jitted_rec is not None)
@@ -690,16 +699,26 @@ class Trainer:
             rand = (jdraw(self._base_key, ef) if jdraw is not None
                     else None)
             reps, encs, extras = [], [], []
-            prev_rep = None
+            rot_reps: list = []  # backpressure on rotating buffers only
             for r in range(R):
                 if carry["idx"] == r:
                     dev = carry["dev"]
+                    carry["idx"] = carry["dev"] = None
                 else:
+                    # pinned: cached after the first epoch; rotating:
+                    # cold path (first epoch, or R == 1)
                     dev = store.put(r)
-                if R > 1:
-                    # issue shard r+1's (or next epoch's shard 0's)
-                    # transfer NOW so it overlaps shard r's compute
-                    nxt = (r + 1) % R
+                nxt = _next_rot(r)
+                if nxt is not None and carry["idx"] is None:
+                    # keep exactly one rotating transfer in flight —
+                    # the next one this (or the next) epoch needs — so
+                    # it overlaps the pinned/rotating compute between
+                    # here and there.  Before issuing it, force the
+                    # rep of the rotating shard before last: never
+                    # more than ~3 rotating buffers alive even though
+                    # the Python loop dispatches far ahead.
+                    if len(rot_reps) >= 2:
+                        np.asarray(rot_reps.pop(0))
                     carry["idx"], carry["dev"] = nxt, store.put(nxt)
                 params, opt_state, out = fn(
                     params, opt_state, ef, self._base_key,
@@ -714,13 +733,8 @@ class Trainer:
                 else:
                     rep = out
                 reps.append(rep)
-                if prev_rep is not None:
-                    # backpressure: force shard r-1's report so its
-                    # (already consumed) buffers are freed before a
-                    # third transfer can queue — HBM holds at most the
-                    # current shard + the one in flight
-                    np.asarray(prev_rep)
-                prev_rep = rep
+                if r in rotating or not store.pinned_idx:
+                    rot_reps.append(rep)
             rep_all = jnp.concatenate(reps, axis=0)
             if record:
                 enc_all = jax.tree_util.tree_map(
@@ -1401,9 +1415,23 @@ def train_vae_model(
             # next shard's transfer double-buffered behind compute.
             from ..data.shards import ShardStore
 
-            store = ShardStore.build(data_mem, B)
-            TLOG(f"Rotating {store.nshards} host-resident shards "
-                 f"through HBM ({store.layout} layout, "
+            # shards at ~budget/8 so the two rotating double-buffers
+            # are a small HBM tax; everything else of the budget PINS
+            # shards permanently — per-epoch H2D pays only for the
+            # overflow beyond HBM, not the whole dataset
+            shard_env = os.environ.get("MMVAE_SHARD_BYTES")
+            shard_budget = (int(shard_env) if shard_env
+                            else max(64 << 20, dense_budget // 8))
+            pin_env = os.environ.get("MMVAE_PIN_BYTES")
+            pin_budget = (int(pin_env) if pin_env
+                          else max(0, dense_budget - 2 * shard_budget))
+            store = ShardStore.build(data_mem, B,
+                                     shard_budget=shard_budget,
+                                     pin_budget=pin_budget)
+            n_rot = store.nshards - len(store.pinned_idx)
+            TLOG(f"Rotating {n_rot}/{store.nshards} host-resident "
+                 f"shards through HBM ({len(store.pinned_idx)} pinned; "
+                 f"{store.layout} layout, "
                  f"~{store.shard_bytes(0) / 1e6:,.0f} MB/shard; "
                  f"dense {dense_bytes / 1e6:,.0f} MB and ELL "
                  f"{ell_bytes / 1e6:,.0f} MB both exceed "

@@ -116,6 +116,45 @@ def test_dense_fill_np_matches_native(mtx_file):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pinned_shards_spread_and_cached(mtx_file):
+    """Pinning: the pin budget converts shards to HBM-resident ones at
+    evenly spread positions, and put() caches them."""
+    path, idx, dens = mtx_file
+    blk = MtxMemoryBlock(path, idx, 16)
+    store = ShardStore.build(blk, 16, shard_budget=700,  # 1 batch/shard
+                             pin_budget=100000)
+    R = store.nshards
+    assert R == 8
+    # pin budget covers everything but at least one shard must rotate
+    assert len(store.pinned_idx) == R - 1
+    p = next(iter(store.pinned_idx))
+    assert store.put(p) is store.put(p)          # cached
+    rot = [r for r in range(R) if r not in store.pinned_idx]
+    assert store.put(rot[0]) is not store.put(rot[0])  # fresh each time
+
+    store2 = ShardStore.build(blk, 16, shard_budget=700,
+                              pin_budget=4 * store.shard_bytes(0))
+    rot2 = sorted(set(range(store2.nshards)) - store2.pinned_idx)
+    assert len(rot2) == store2.nshards - 4
+    gaps = np.diff(rot2 + [rot2[0] + store2.nshards])
+    assert gaps.max() - gaps.min() <= 1  # evenly spread
+
+
+def test_rotation_pinned_matches_resident(setup, monkeypatch):
+    """Hybrid pinned+rotating epochs: trajectory equality holds with
+    part of the shards HBM-cached."""
+    data, covar, model = setup
+    p_res, l_res = _train(data, covar, model, ondevice=True)
+    _force_rotation(monkeypatch)
+    monkeypatch.setenv("MMVAE_PIN_BYTES", "4000")  # pins ~2 of 4 shards
+    p_rot, l_rot = _train(data, covar, model, ondevice=True)
+    np.testing.assert_allclose(l_res, l_rot, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_res),
+                    jax.tree_util.tree_leaves(p_rot)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 # ------------------------------------------------------------ trajectory
 
 def test_rotation_matches_resident_trajectory(setup, monkeypatch):
