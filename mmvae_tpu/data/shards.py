@@ -112,19 +112,33 @@ class ShardStore:
         nbatch = ntot // B + (1 if ntot % B else 0)
 
         idx_dtype = np.int16 if D < (1 << 15) - 1 else np.int32
+        # batch-packed CSR: per-batch triplets padded to the max batch
+        # nnz — for skewed count distributions 3-4x smaller than ELL's
+        # per-cell k_max padding (the host-link bytes are the rotation
+        # tier's roofline, so bytes ARE throughput)
+        counts = np.diff(indptr)
+        sched = np.arange(nbatch * B, dtype=np.int64) % ntot
+        batch_nnz = counts[sched].reshape(nbatch, B).sum(axis=1)
+        nnz_pad = int(batch_nnz.max()) if nbatch else 0
+        row_in_b_dtype = np.int8 if B < (1 << 7) - 1 else np.int16
+        csr_batch = nnz_pad * (np.dtype(row_in_b_dtype).itemsize
+                               + np.dtype(idx_dtype).itemsize
+                               + vd.itemsize)
         dense_row = D * vd.itemsize
         ell_row = k_max * (np.dtype(idx_dtype).itemsize + vd.itemsize)
         if layout is None:
-            layout = os.environ.get("MMVAE_SHARD_LAYOUT") or (
-                "dense" if dense_row <= ell_row else "ell"
-            )
-        assert layout in ("dense", "ell"), layout
-        row_bytes = dense_row if layout == "dense" else ell_row
+            layout = os.environ.get("MMVAE_SHARD_LAYOUT") or min(
+                ("dense", dense_row * B), ("ell", ell_row * B),
+                ("csr", csr_batch), key=lambda kv: kv[1],
+            )[0]
+        assert layout in ("dense", "ell", "csr"), layout
+        batch_bytes = {"dense": dense_row * B, "ell": ell_row * B,
+                       "csr": csr_batch}[layout]
 
         # balanced whole-batch shards under the budget: R minimal, so
         # at most two distinct shard sizes -> at most two compiled
         # epoch-shard programs
-        cap = max(1, shard_budget // max(1, row_bytes * B))
+        cap = max(1, shard_budget // max(1, batch_bytes))
         R = -(-nbatch // cap)
         s = -(-nbatch // R)
 
@@ -166,6 +180,10 @@ class ShardStore:
                     x = _dense_fill_np(rows_c, vals_c, indptr, D, vd,
                                        ids)
                 arrays = (x,)
+            elif layout == "csr":
+                arrays = _csr_fill_np(rows_c, vals_c, indptr, ids, B,
+                                      nnz_pad, row_in_b_dtype,
+                                      idx_dtype, vd)
             else:
                 lo, hi = b0 * B, b1 * B
                 if hi <= ntot:
@@ -190,6 +208,42 @@ class ShardStore:
             rot = {int(j * R / n_rot) for j in range(n_rot)}
             store.pinned_idx = frozenset(range(R)) - rot
         return store
+
+
+def _csr_fill_np(rows_c, vals_c, indptr, ids, B, nnz_pad,
+                 row_dtype, idx_dtype, vd):
+    """Batch-packed CSR shard fill: (nb, nnz_pad) triplet arrays.
+
+    For each batch, its cells' nonzeros are packed contiguously as
+    (row-in-batch, gene, value) and padded to ``nnz_pad`` with row
+    sentinel ``B`` (dropped by the out-of-bounds scatter mode on
+    device).  One vectorized numpy pass over the shard's nonzeros."""
+    nb = len(ids) // B
+    starts = indptr[ids]
+    cnt = (indptr[ids + 1] - starts).astype(np.int64)
+    rows_b = np.full((nb, nnz_pad), B, row_dtype)
+    cols = np.zeros((nb, nnz_pad), idx_dtype)
+    vals = np.zeros((nb, nnz_pad), vd)
+    tot = int(cnt.sum())
+    if tot:
+        cum = np.concatenate([[0], np.cumsum(cnt)])
+        # source positions in the CSC arrays (multi-range gather)
+        pos = (np.arange(tot, dtype=np.int64)
+               - np.repeat(cum[:-1], cnt) + np.repeat(starts, cnt))
+        batch_of_cell = np.arange(len(ids), dtype=np.int64) // B
+        # within-batch destination offset: cells pack back-to-back, so
+        # a cell's base = nnz cumsum at the cell minus at its batch's
+        # first cell
+        off_base = cum[:-1] - cum[batch_of_cell * B]
+        dst_col = (np.repeat(off_base, cnt)
+                   + (np.arange(tot, dtype=np.int64)
+                      - np.repeat(cum[:-1], cnt)))
+        dst_row = np.repeat(batch_of_cell, cnt)
+        rows_b[dst_row, dst_col] = np.repeat(
+            (np.arange(len(ids)) % B).astype(row_dtype), cnt)
+        cols[dst_row, dst_col] = rows_c[pos].astype(idx_dtype)
+        vals[dst_row, dst_col] = vals_c[pos].astype(vd)
+    return rows_b, cols, vals
 
 
 def _dense_fill_np(rows_c, vals_c, indptr, D, vd, ids):

@@ -578,7 +578,8 @@ class Trainer:
         :meth:`make_ondevice_epoch` — trajectories are bitwise-equal to
         the resident paths (tests/test_rotate.py).
         """
-        from ..ops.densify import densify_ell, densify_gathered
+        from ..ops.densify import (densify_ell, densify_gathered,
+                                   densify_triplets)
 
         nbatch = store.nbatch
         D = store.D
@@ -587,7 +588,7 @@ class Trainer:
             (covar_csc.ell_rows, covar_csc.ell_vals)
             if covar_csc is not None else None
         )
-        dense_mode = store.layout == "dense"
+        layout = store.layout
         fast = self.fast
 
         def make_shard_fn(record: bool):
@@ -597,7 +598,10 @@ class Trainer:
                          data, covar, rand=None):
                 ekey = jax.random.fold_in(base_key,
                                           jnp.asarray(epoch_f, jnp.int32))
-                nb_s = data[0].shape[0] // B  # rows = nb * B exactly
+                # dense/ell shards carry nb*B rows; csr shards carry a
+                # (nb, nnz_pad) leading batch axis directly
+                nb_s = (data[0].shape[0] if layout == "csr"
+                        else data[0].shape[0] // B)
                 if rand is not None:
                     # slice this shard's rows out of the full-epoch
                     # pre-drawn rand (leading dim nbatch) — bitwise the
@@ -618,9 +622,13 @@ class Trainer:
                     st, opt_st = carry
                     i, rnd = inp
                     b = b0 + i  # global batch id (PRNG/kl schedule)
-                    if dense_mode:
+                    if layout == "dense":
                         x = jax.lax.dynamic_slice_in_dim(
                             data[0], i * B, B, 0)
+                    elif layout == "csr":
+                        tr, tc, tv = (jax.lax.dynamic_index_in_dim(
+                            a, i, 0, keepdims=False) for a in data)
+                        x = densify_triplets(tr, tc, tv, B, D)
                     else:
                         er = jax.lax.dynamic_slice_in_dim(
                             data[0], i * B, B, 0)

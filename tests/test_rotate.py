@@ -75,11 +75,11 @@ def test_shard_plan_covers_schedule(mtx_file):
     assert len({s.nb for s in store.shards}) <= 2
 
 
-@pytest.mark.parametrize("layout", ["dense", "ell"])
+@pytest.mark.parametrize("layout", ["dense", "ell", "csr"])
 def test_shard_rows_match_schedule_values(mtx_file, layout):
     """Every batch of every shard reproduces the host loader's dense
     batch — including the final wrap-around batch."""
-    from mmvae_tpu.ops.densify import densify_gathered
+    from mmvae_tpu.ops.densify import densify_gathered, densify_triplets
 
     path, idx, dens = mtx_file
     B = 16
@@ -94,6 +94,9 @@ def test_shard_rows_match_schedule_values(mtx_file, layout):
             want = dens[:, cols].T
             if layout == "dense":
                 got = np.asarray(dev[0][i * B:(i + 1) * B])
+            elif layout == "csr":
+                got = np.asarray(densify_triplets(
+                    dev[0][i], dev[1][i], dev[2][i], B, store.D))
             else:
                 got = np.asarray(densify_gathered(
                     dev[0][i * B:(i + 1) * B],
@@ -169,10 +172,11 @@ def test_rotation_matches_resident_trajectory(setup, monkeypatch):
                                    rtol=1e-5, atol=1e-7)
 
 
-def test_rotation_ell_layout_matches_host(setup, monkeypatch):
+@pytest.mark.parametrize("layout", ["ell", "csr"])
+def test_rotation_layout_matches_host(setup, monkeypatch, layout):
     data, covar, model = setup
     p_host, l_host = _train(data, covar, model, ondevice=False)
-    _force_rotation(monkeypatch, layout="ell")
+    _force_rotation(monkeypatch, layout=layout)
     p_rot, l_rot = _train(data, covar, model, ondevice=True)
     np.testing.assert_allclose(l_host, l_rot, rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(p_host),
