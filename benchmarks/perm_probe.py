@@ -40,7 +40,7 @@ def main():
 
     # sample batches; per-gene max count over the sample decides the
     # clustering (a production loader would scan the whole CSC once)
-    nsample = 50
+    nsample = 12
     xs = []
     for b in range(nsample):
         cols = np.arange(b * B, (b + 1) * B) % N

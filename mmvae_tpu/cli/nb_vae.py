@@ -211,6 +211,10 @@ def main(argv=None) -> int:
         on_epoch_end=on_epoch_end if topt.checkpoint_dir else None,
         metrics_path=(opts.out + ".metrics.jsonl") if _primary else None,
         ondevice=topt.ondevice,
+        # dense-resident kernel runs cluster hot genes into the tail
+        # lane tiles (artifacts stay in input order); safe for NB —
+        # no model-side D-indexed constants outside the params
+        feature_perm=True,
         **host_kw,
         **tp_kw,
     )

@@ -287,6 +287,10 @@ def main(argv=None) -> int:
         on_epoch_end=on_epoch_end if topt.checkpoint_dir else None,
         metrics_path=(opts.out + ".metrics.jsonl") if _primary else None,
         ondevice=topt.ondevice,
+        # joint model: safe (all D-indexed state lives in params).
+        # mixture: NOT safe — the model carries the (D, K) annotation
+        # matrix as a constant outside the params tree
+        feature_perm=not mixture,
         **fused_kw,
         **host_kw,
         **tp_kw,
