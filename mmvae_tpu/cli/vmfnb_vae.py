@@ -15,6 +15,8 @@ import sys
 
 import jax
 
+import numpy as np
+
 from ..data.annotation import Annotation
 from ..models.vmfnb import VMFNBVAE, vmfnb_composite_loss
 from ..models.vmfnb_mixture import VMFNBMixtureVAE, mixture_composite_loss
@@ -230,6 +232,23 @@ def main(argv=None) -> int:
 
         mesh = make_mesh()
 
+    def _mixture_perm_apply(model, fused_kw):
+        """Feature-clustering hook for the mixture model: its D-indexed
+        CONSTANTS live outside the params tree, so the training loop
+        calls this with the permutation it applied to data+params.
+        The label ndarray mutates in place (the model re-reads it at
+        trace time, as does ``_filter()``); the fast step's packed
+        caches rebind."""
+        def apply(perm):
+            lab = np.asarray(model.label)
+            lab[...] = lab[perm]
+            fs = fused_kw.get("fast_step")
+            if fs is not None and hasattr(fs, "_label"):
+                fs._label = fs._label[:, perm]
+                fs._filt = fs._filt[:, perm]
+
+        return apply
+
     # Fused step path (default): the NB half (direct decoder +
     # likelihood) runs in the single-pass Pallas kernels (joint variant
     # of ops/nb_step.py); the vMF half stays in XLA.  --no_fused_step
@@ -287,10 +306,14 @@ def main(argv=None) -> int:
         on_epoch_end=on_epoch_end if topt.checkpoint_dir else None,
         metrics_path=(opts.out + ".metrics.jsonl") if _primary else None,
         ondevice=topt.ondevice,
-        # joint model: safe (all D-indexed state lives in params).
-        # mixture: NOT safe — the model carries the (D, K) annotation
-        # matrix as a constant outside the params tree
-        feature_perm=not mixture,
+        # dense-resident kernel runs cluster hot genes into the tail
+        # lane tiles.  Joint: all D-indexed state lives in params.
+        # Mixture: the (D, K) annotation matrix and the fast step's
+        # (K, D)/(1, D) caches are constants outside the params tree —
+        # the hook below permutes them in place alongside the data.
+        feature_perm=True,
+        feature_perm_apply=(_mixture_perm_apply(model, fused_kw)
+                            if mixture else None),
         **fused_kw,
         **host_kw,
         **tp_kw,

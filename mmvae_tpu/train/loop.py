@@ -1197,6 +1197,7 @@ def train_vae_model(
     host_count: int = 1,
     host_id: int = 0,
     feature_perm: bool = False,
+    feature_perm_apply: Callable | None = None,
 ) -> tuple[dict, list[float]]:
     """The high-level training loop (reference: mmvae_alg.hh:200-338).
 
@@ -1458,6 +1459,11 @@ def train_vae_model(
                         _fperm["inv"] = jnp.asarray(np.argsort(permf),
                                                     jnp.int32)
                         _fperm["D"] = Df
+                        if feature_perm_apply is not None:
+                            # models with D-indexed constants OUTSIDE
+                            # the params tree (the mixture's label
+                            # matrix) permute them through this hook
+                            feature_perm_apply(permf)
                         TLOG(f"Feature clustering: {int(hot.sum())} hot "
                              f"genes (count>7, {100 * frac:.1f}%) moved "
                              f"to the tail lane tiles (artifacts stay "

@@ -121,6 +121,57 @@ def test_perm_artifacts_in_input_order(hot_setup, monkeypatch, tmp_path):
     np.testing.assert_allclose(xm_ref, xm_prm, rtol=2e-3, atol=2e-4)
 
 
+def test_perm_mixture_cli_consistent(hot_setup, tmp_path):
+    """Mixture model under the permutation: the label matrix and the
+    fast step's packed caches permute through the CLI hook, so scores
+    and artifacts match the unpermuted run to reassociation level."""
+    import os
+    import subprocess
+    import sys
+
+    data, covar, model, dens = hot_setup
+    D = dens.shape[0]
+    annot = str(tmp_path / "annot.txt")
+    rows = str(tmp_path / "rows.txt")
+    with open(rows, "w") as f:
+        f.write("\n".join(f"g{i}" for i in range(D)) + "\n")
+    with open(annot, "w") as f:
+        f.write("\n".join(f"g{i}\tk{i % 4}" for i in range(D)) + "\n")
+
+    def run(tag, force):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["MMVAE_FEATURE_PERM"] = "force" if force else "0"
+        out = str(tmp_path / tag)
+        r = subprocess.run(
+            [sys.executable, "-m", "mmvae_tpu.cli.vmfnb_vae",
+             "--mtx", data.mtx_file, "--annot", annot, "--row", rows,
+             "--out", out, "--max_epoch", "2", "--recording", "2",
+             "--batch_size", "16", "--superbatch", "2"],
+            env=env, capture_output=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        return out, r.stderr.decode()
+
+    out_ref, _ = run("mref", False)
+    out_prm, log = run("mprm", True)
+    assert "Feature clustering" in log
+
+    def scores(o):
+        return np.array([float(v) for v in gzip.open(o + ".scores.gz",
+                                                     "rt")])
+
+    np.testing.assert_allclose(scores(out_ref), scores(out_prm),
+                               rtol=2e-4)
+    a = np.loadtxt(gzip.open(out_ref + "_1.mu_mean.gz", "rt"))
+    b = np.loadtxt(gzip.open(out_prm + "_1.mu_mean.gz", "rt"))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+    ca = np.loadtxt(gzip.open(out_ref + "_1.clust.gz", "rt"))
+    cb = np.loadtxt(gzip.open(out_prm + "_1.clust.gz", "rt"))
+    assert (ca == cb).mean() > 0.95  # hard one-hot may flip rare ties
+
+
 def test_perm_checkpoint_resume_canonical(hot_setup, monkeypatch,
                                           tmp_path):
     """Checkpoints write canonical order; a resumed run re-derives the
