@@ -1,6 +1,6 @@
 """Capture + summarize a device trace of the packed fast-step epoch.
 
-Usage:  python benchmarks/trace_step.py [nb|joint|mixture] [D] [S] [B]
+Usage:  python benchmarks/trace_step.py [nb|vmf|joint|mixture] [D] [S] [B]
 
 Runs the same on-device dense-resident epoch protocol as bench.py for
 the chosen model family, captures a jax.profiler trace around one
@@ -54,6 +54,18 @@ def build(kind: str, D: int, S: int):
                 x, out, beta, include_data_const=False),
             fast_step=NBFastStep(model, topt),
         )
+    elif kind == "vmf":
+        from mmvae_tpu.models.vmf import VMFVAE
+        from mmvae_tpu.ops.losses import vmf_loss
+        from mmvae_tpu.ops.vmf_fast import VMFFastStep
+
+        model = VMFVAE(data_dim=D, covar_dim=1, latent=2)
+        trainer = Trainer(
+            lambda p, x, c, k, t: model.forward(p, x, c, k, t),
+            lambda x, out, beta: vmf_loss(x, out, beta),
+            topt,
+            fast_step=VMFFastStep(model, topt),
+        )
     else:
         if kind == "joint":
             from mmvae_tpu.models.vmfnb import (
@@ -89,8 +101,9 @@ def build(kind: str, D: int, S: int):
 
 def main():
     kind = sys.argv[1] if len(sys.argv) > 1 else "joint"
-    if kind not in ("nb", "joint", "mixture"):
-        sys.exit(f"unknown model kind {kind!r}: nb | joint | mixture")
+    if kind not in ("nb", "vmf", "joint", "mixture"):
+        sys.exit(
+            f"unknown model kind {kind!r}: nb | vmf | joint | mixture")
     D = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
     S = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     B = int(sys.argv[4]) if len(sys.argv) > 4 else 100
