@@ -45,6 +45,12 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--batch_size", type=int, default=100)
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="shard the feature axis D over N devices for "
+                        "the dense-resident sweep (the same kernel-"
+                        "aware 'model'-axis layout as training TP); "
+                        "spare devices form a data axis over batch "
+                        "blocks.  1 = single-device serving.")
     p.add_argument("--chunk_batches", type=int, default=16,
                    help="batches encoded per device dispatch (lax.map "
                         "inside one jit); amortizes the per-dispatch "
@@ -139,6 +145,28 @@ def main(argv=None) -> int:
 
         names = ("mu_mean", "mu_lnvar")
 
+    # TP serving: the per-batch encode over model-axis feature shards,
+    # mirroring the training loop's in-scan TP record functions (psum'd
+    # normalizers; outputs replicated across 'model')
+    tp = max(1, ns.tensor_parallel)
+    tp_batch_fn = None
+    if tp > 1:
+        if ns.model == "nb":
+            tp_batch_fn = lambda p, x: model.tp_encode_mu(  # noqa: E731
+                p, x, None, "model")
+        elif ns.model == "vmf":
+            tp_batch_fn = lambda p, x: model.tp_encode(  # noqa: E731
+                p, x, None, "model")
+        elif ns.model == "vmfnb":
+            tp_batch_fn = lambda p, x: model.tp_shared_encode_mu(  # noqa: E731
+                p, x, "model")
+        else:
+            def tp_batch_fn(p, x):
+                vmf = model.tp_vmf_forward(p, x, _rkey, False, "model")
+                mean, lnvar = model.tp_nb_encode_mu(
+                    p, x, vmf.latent, "model")
+                return mean, lnvar, vmf.latent
+
     params_tmpl = model.init(jax.random.PRNGKey(0))
     # params-only load: works for checkpoints from ANY optimizer config
     params, _, epoch, _ = load_checkpoint(ns.checkpoint, params_tmpl)
@@ -192,33 +220,92 @@ def main(argv=None) -> int:
         Bsz = ns.batch_size
         nbatch = N // Bsz
 
-        def sweep(p, data):
-            # data rides as an ARGUMENT: closing over it would bake the
-            # 2 GB matrix into the lowered program as a constant
-            def body(b):
-                x = jax.lax.dynamic_slice_in_dim(
-                    data, b * Bsz, Bsz, 0
-                ).astype(jnp.float32)
-                return batch_fn(p, x)
+        if tp > 1 and D % tp != 0:
+            TLOG(f"TP serving skipped: D={D} not divisible by "
+                 f"--tensor_parallel {tp}; running single-device")
+            tp = 1
+        if tp > 1:
+            # TP sweep: one shard_map over a ('data', 'model') mesh.
+            # Features shard over 'model' (the training TP layout,
+            # model.tp_pspecs); whole batches block-shard over 'data'
+            # (shard s owns batches [s*nb_loc, (s+1)*nb_loc)), so the
+            # gathered (nbatch, Bsz, Z) stack is already in input row
+            # order.  Outputs are replicated over 'model' by the psum
+            # inside the tp_* encode fns.
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            return jax.lax.map(body, jnp.arange(nbatch))
+            from ..parallel.mesh import make_mesh
 
+            ndev = len(jax.devices())
+            if ndev % tp != 0:
+                raise ValueError(
+                    f"--tensor_parallel {tp} does not divide "
+                    f"{ndev} devices")
+            import math
+
+            dp = math.gcd(ndev // tp, nbatch)
+            mesh = make_mesh(model_parallel=tp,
+                             devices=np.asarray(
+                                 jax.devices()[: dp * tp]))
+            nb_loc = nbatch // dp
+            TLOG(f"TP serving over (data={dp}, model={tp}); "
+                 f"{nb_loc} batches/shard")
+
+            def sweep(p, data):
+                # shard-local: data is (N/dp, D/tp)
+                def body(b):
+                    x = jax.lax.dynamic_slice_in_dim(
+                        data, b * Bsz, Bsz, 0
+                    ).astype(jnp.float32)
+                    return tp_batch_fn(p, x)
+
+                return jax.lax.map(body, jnp.arange(nb_loc))
+
+            n_out = 3 if ns.model == "mixture" else 2
+            sweep_sh = jax.shard_map(
+                sweep, mesh=mesh,
+                in_specs=(model.tp_pspecs(params), P("data", "model")),
+                out_specs=tuple(P("data", None, None)
+                                for _ in range(n_out)),
+                check_vma=False,
+            )
+            data_dense = jax.device_put(
+                data_dense, NamedSharding(mesh, P("data", "model")))
+            compiled = jax.jit(sweep_sh).lower(
+                params, data_dense).compile()
+        else:
+            def sweep(p, data):
+                # data rides as an ARGUMENT: closing over it would bake
+                # the 2 GB matrix into the lowered program as a constant
+                def body(b):
+                    x = jax.lax.dynamic_slice_in_dim(
+                        data, b * Bsz, Bsz, 0
+                    ).astype(jnp.float32)
+                    return batch_fn(p, x)
+
+                return jax.lax.map(body, jnp.arange(nbatch))
+
+            compiled = jax.jit(sweep).lower(params, data_dense).compile()
         # ONE dispatch for the whole dataset, one fetch per output —
         # the exact shape of a training epoch's recording scan.  AOT
         # compile first so the timed (and only) execution excludes
         # compilation without running the sweep twice.
-        compiled = jax.jit(sweep).lower(params, data_dense).compile()
         t0 = time.time()
         outs_dev = compiled(params, data_dense)
         outs = [np.asarray(o) for o in outs_dev]
         dt = time.time() - t0
+        mode = "dense-resident" if tp == 1 else (
+            f"dense-resident, TP model={tp}")
         TLOG(f"Encoded {N} cells in {dt:.3f}s "
-             f"({N / dt:,.0f} cells/sec, dense-resident)")
+             f"({N / dt:,.0f} cells/sec, {mode})")
         mean_out = outs[0].reshape(N, -1)
         lnvar_out = outs[1].reshape(N, -1)
         if len(outs) == 3:
             clust_out = outs[2].reshape(N, -1)
     else:
+        if tp > 1:
+            TLOG("TP serving needs the dense-resident sweep; "
+                 "streaming path runs single-device")
         # Chunked streaming sweep: ``chunk_batches`` batches ride ONE
         # jitted ``lax.map`` dispatch and ONE device->host fetch.
         # Per-batch results are identical to the one-dispatch-per-batch

@@ -603,3 +603,74 @@ def test_decode_threads_env_fallback(monkeypatch):
     monkeypatch.delenv("MMVAE_DECODE_THREADS")
     # default leaves headroom for the XLA host/prefetch threads
     assert 1 <= decode_threads() <= 8
+
+
+def test_encode_tensor_parallel_matches_single(train_mtx, tmp_path):
+    """--tensor_parallel serving: the dense-resident sweep under a
+    ('data', 'model') shard_map (training's TP feature layout) must
+    reproduce the single-device sweep to reassociation level, for the
+    plain NB encoder and for the mixture (incl. identical hard-Gumbel
+    cluster assignments)."""
+    from mmvae_tpu.io.writers import read_data_file
+
+    eightdev = {"XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                              + " --xla_force_host_platform_device_count=8")}
+
+    # --- NB ---
+    ckpt = str(tmp_path / "ck_nb")
+    r = _run_cli("mmvae_tpu.cli.nb_vae", [
+        "--mtx", train_mtx, "--out", str(tmp_path / "nb"),
+        "--max_epoch", "1", "--batch_size", "40",
+        "--checkpoint_dir", ckpt,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli("mmvae_tpu.cli.encode", [
+        "--model", "nb", "--mtx", train_mtx, "--checkpoint", ckpt,
+        "--out", str(tmp_path / "e1"), "--batch_size", "40",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dense-resident" in r.stderr
+    r = _run_cli("mmvae_tpu.cli.encode", [
+        "--model", "nb", "--mtx", train_mtx, "--checkpoint", ckpt,
+        "--out", str(tmp_path / "e2"), "--batch_size", "40",
+        "--tensor_parallel", "2",
+    ], extra_env=eightdev)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TP serving over (data=2, model=2)" in r.stderr
+    for nm in ("mu_mean", "mu_lnvar"):
+        a = read_data_file(str(tmp_path / f"e1.{nm}.gz"))
+        b = read_data_file(str(tmp_path / f"e2.{nm}.gz"))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+
+    # --- mixture (off-params (D, K) label state + frozen Gumbel) ---
+    rows = str(tmp_path / "rows.txt")
+    annot = str(tmp_path / "annot.txt")
+    with open(rows, "w") as f:
+        f.write("\n".join(f"g{i}" for i in range(30)) + "\n")
+    with open(annot, "w") as f:
+        f.write("\n".join(f"g{i} label{i % 2}" for i in range(30)) + "\n")
+    ckpt2 = str(tmp_path / "ck_mix")
+    r = _run_cli("mmvae_tpu.cli.vmfnb_vae", [
+        "--mtx", train_mtx, "--out", str(tmp_path / "mx"),
+        "--max_epoch", "1", "--batch_size", "40",
+        "--row", rows, "--annot", annot, "--checkpoint_dir", ckpt2,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli("mmvae_tpu.cli.encode", [
+        "--model", "mixture", "--mtx", train_mtx, "--checkpoint", ckpt2,
+        "--out", str(tmp_path / "m1"), "--batch_size", "40",
+        "--row", rows, "--annot", annot,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli("mmvae_tpu.cli.encode", [
+        "--model", "mixture", "--mtx", train_mtx, "--checkpoint", ckpt2,
+        "--out", str(tmp_path / "m2"), "--batch_size", "40",
+        "--row", rows, "--annot", annot, "--tensor_parallel", "2",
+    ], extra_env=eightdev)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for nm in ("mu_mean", "mu_lnvar"):
+        a = read_data_file(str(tmp_path / f"m1.{nm}.gz"))
+        b = read_data_file(str(tmp_path / f"m2.{nm}.gz"))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+    assert np.array_equal(read_data_file(str(tmp_path / "m1.clust.gz")),
+                          read_data_file(str(tmp_path / "m2.clust.gz")))
