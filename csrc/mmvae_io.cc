@@ -588,6 +588,63 @@ void mmvae_dense_fill(const int32_t *rows, const float *vals,
     }
 }
 
+// Batch-packed CSR shard fill (the rotation tier's smallest layout,
+// data/shards.py): for each of ``nids`` schedule cells (CSC column
+// ids[i]), append its nonzeros to its batch's packed
+// (row-in-batch, gene, value) triplet row, padded to ``nnz_pad`` with
+// row sentinel B (dropped by the out-of-bounds scatter on device).
+// One pass over the shard's nonzeros; the numpy fallback needs ~8.
+void mmvae_csr_fill(const int32_t *rows, const float *vals,
+                    const int64_t *indptr, const int64_t *ids,
+                    int64_t nids, int64_t B, int64_t nnz_pad,
+                    void *rows_b, int rb_code, /* 0=int8 1=int16 */
+                    void *cols, int cid_code,  /* 0=int16 1=int32 */
+                    void *vout, int vdtype) {  /* 0=f32 1=i16 2=i8 */
+    int64_t nb = nids / B;
+    for (int64_t b = 0; b < nb; ++b) {
+        int64_t cur = 0;
+        int64_t base = b * nnz_pad;
+        for (int64_t k = 0; k < B; ++k) {
+            int64_t c = ids[b * B + k];
+            int64_t lo = indptr[c], hi = indptr[c + 1];
+            for (int64_t j = lo; j < hi; ++j, ++cur) {
+                int64_t d = base + cur;
+                if (rb_code == 0)
+                    ((int8_t *)rows_b)[d] = (int8_t)k;
+                else
+                    ((int16_t *)rows_b)[d] = (int16_t)k;
+                if (cid_code == 0)
+                    ((int16_t *)cols)[d] = (int16_t)rows[j];
+                else
+                    ((int32_t *)cols)[d] = rows[j];
+                if (vdtype == 0)
+                    ((float *)vout)[d] = vals[j];
+                else if (vdtype == 1)
+                    ((int16_t *)vout)[d] = (int16_t)vals[j];
+                else
+                    ((int8_t *)vout)[d] = (int8_t)vals[j];
+            }
+        }
+        for (; cur < nnz_pad; ++cur) {
+            int64_t d = base + cur;
+            if (rb_code == 0)
+                ((int8_t *)rows_b)[d] = (int8_t)B;
+            else
+                ((int16_t *)rows_b)[d] = (int16_t)B;
+            if (cid_code == 0)
+                ((int16_t *)cols)[d] = 0;
+            else
+                ((int32_t *)cols)[d] = 0;
+            if (vdtype == 0)
+                ((float *)vout)[d] = 0.0f;
+            else if (vdtype == 1)
+                ((int16_t *)vout)[d] = 0;
+            else
+                ((int8_t *)vout)[d] = 0;
+        }
+    }
+}
+
 // Fast triplet scan over a contiguous byte range (one or more whole
 // lines).  Parses "row col value" with a hand-rolled number reader
 // (integer fast path, simple decimals; strtod only for exponents),

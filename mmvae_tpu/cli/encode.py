@@ -250,6 +250,11 @@ def main(argv=None) -> int:
             nb_loc = nbatch // dp
             TLOG(f"TP serving over (data={dp}, model={tp}); "
                  f"{nb_loc} batches/shard")
+            if dp * tp < ndev:
+                TLOG(f"note: {ndev - dp * tp} of {ndev} devices idle "
+                     f"(data axis = gcd(spare devices, nbatch="
+                     f"{nbatch})); pick a batch count divisible by "
+                     f"{ndev // tp} to use all devices")
 
             def sweep(p, data):
                 # shard-local: data is (N/dp, D/tp)

@@ -149,23 +149,11 @@ class ShardStore:
         if layout == "ell":
             # ONE global host ELL fill, then shards are row slices
             # (views except the wrap-padded final shard)
-            if native.available() and k_max > 0:
-                ell_rows, ell_vals = native.ell_fill(
-                    rows_c, vals_c, indptr, k_max, vd
-                )
-            else:
-                counts = np.diff(indptr)
-                ell_rows = np.full((ntot, k_max), -1, np.int32)
-                ell_vals = np.zeros((ntot, k_max), vd)
-                if len(rows_c):
-                    col_ids = np.repeat(
-                        np.arange(ntot, dtype=np.int64), counts
-                    )
-                    offs = (np.arange(len(rows_c), dtype=np.int64)
-                            - np.repeat(indptr[:-1].astype(np.int64),
-                                        counts))
-                    ell_rows[col_ids, offs] = rows_c
-                    ell_vals[col_ids, offs] = vals_c
+            from ..ops.densify import ell_fill_host
+
+            ell_rows, ell_vals = ell_fill_host(
+                rows_c, vals_c, indptr, k_max, vd, ntot
+            )
             if idx_dtype is np.int16:
                 ell_rows = ell_rows.astype(np.int16)  # -1 pad fits
 
@@ -181,9 +169,15 @@ class ShardStore:
                                        ids)
                 arrays = (x,)
             elif layout == "csr":
-                arrays = _csr_fill_np(rows_c, vals_c, indptr, ids, B,
-                                      nnz_pad, row_in_b_dtype,
-                                      idx_dtype, vd)
+                if native.available():
+                    arrays = native.csr_fill(rows_c, vals_c, indptr,
+                                             ids, B, nnz_pad,
+                                             row_in_b_dtype, idx_dtype,
+                                             vd)
+                else:
+                    arrays = _csr_fill_np(rows_c, vals_c, indptr, ids,
+                                          B, nnz_pad, row_in_b_dtype,
+                                          idx_dtype, vd)
             else:
                 lo, hi = b0 * B, b1 * B
                 if hi <= ntot:

@@ -126,6 +126,13 @@ def _bind(lib) -> None:
             _pi64, _i64, ctypes.c_void_p, ctypes.c_int,
         ]
         lib.mmvae_dense_fill.restype = None
+        lib.mmvae_csr_fill.argtypes = [
+            _pi32, _pf32, _pi64, _pi64, _i64, _i64, _i64,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.mmvae_csr_fill.restype = None
 
 
 def available() -> bool:
@@ -331,6 +338,38 @@ def dense_fill(rows: np.ndarray, vals: np.ndarray, indptr: np.ndarray,
         order_p, nrows, out.ctypes.data_as(ctypes.c_void_p), code,
     )
     return out
+
+
+def csr_fill(rows: np.ndarray, vals: np.ndarray, indptr: np.ndarray,
+             ids: np.ndarray, B: int, nnz_pad: int, row_dtype,
+             idx_dtype, val_dtype
+             ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-packed CSR shard fill (rotation tier, data/shards.py):
+    (nb, nnz_pad) triplet arrays in one native pass."""
+    lib = _load()
+    _pi32 = ctypes.POINTER(ctypes.c_int32)
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    nb = len(ids) // B
+    rbd, cid, vd = (np.dtype(row_dtype), np.dtype(idx_dtype),
+                    np.dtype(val_dtype))
+    rb_code = {"int8": 0, "int16": 1}[rbd.name]
+    cid_code = {"int16": 0, "int32": 1}[cid.name]
+    v_code = {"float32": 0, "int16": 1, "int8": 2}[vd.name]
+    rows_b = np.empty((nb, nnz_pad), rbd)
+    cols = np.empty((nb, nnz_pad), cid)
+    out_vals = np.empty((nb, nnz_pad), vd)
+    lib.mmvae_csr_fill(
+        rows.ctypes.data_as(_pi32), vals.ctypes.data_as(_pf32),
+        indptr.ctypes.data_as(_pi64), ids.ctypes.data_as(_pi64),
+        len(ids), B, nnz_pad,
+        rows_b.ctypes.data_as(ctypes.c_void_p), rb_code,
+        cols.ctypes.data_as(ctypes.c_void_p), cid_code,
+        out_vals.ctypes.data_as(ctypes.c_void_p), v_code,
+    )
+    return rows_b, cols, out_vals
 
 
 def decode_threads() -> int:

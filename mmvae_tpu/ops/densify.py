@@ -21,6 +21,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def ell_fill_host(rows, vals, indptr, k_max: int, val_dtype, N: int):
+    """Host-side padded-ELL fill from CSC arrays: native one-pass when
+    the extension is available, vectorized numpy otherwise (each
+    nonzero lands at (its column, its within-column offset); rows are
+    -1-padded).  Shared by :class:`DeviceCSC` and the rotating
+    :class:`~mmvae_tpu.data.shards.ShardStore` so the two fills cannot
+    drift."""
+    from ..io import native
+
+    if native.available() and k_max > 0:
+        # one native pass fills rows (-1-padded) and values in the
+        # target dtype — several numpy passes over the nonzeros
+        # otherwise (minutes at ~100M nnz on slow hosts)
+        return native.ell_fill(rows, vals, indptr, k_max, val_dtype)
+    ell_rows = np.full((N, k_max), -1, dtype=np.int32)
+    ell_vals = np.zeros((N, k_max), dtype=val_dtype)
+    if len(rows):
+        counts = np.diff(indptr)
+        col_ids = np.repeat(np.arange(N, dtype=np.int64), counts)
+        offs = np.arange(len(rows), dtype=np.int64) - np.repeat(
+            indptr[:-1].astype(np.int64), counts
+        )
+        ell_rows[col_ids, offs] = rows
+        ell_vals[col_ids, offs] = vals
+    return ell_rows, ell_vals
+
+
 class DeviceCSC:
     """Device-resident sparse matrix in padded-ELL layout.
 
@@ -48,27 +75,9 @@ class DeviceCSC:
         self.k_max = int(counts.max()) if len(counts) else 0
         from ..io import native
 
-        if native.available() and self.k_max > 0:
-            # one native pass fills rows (-1-padded) and values in the
-            # target dtype — several numpy passes over the nonzeros
-            # otherwise (minutes at ~100M nnz on slow hosts)
-            ell_rows, ell_vals = native.ell_fill(
-                rows, vals, indptr, self.k_max, val_dtype
-            )
-        else:
-            ell_rows = np.full((self.N, self.k_max), -1, dtype=np.int32)
-            ell_vals = np.zeros((self.N, self.k_max), dtype=val_dtype)
-            if len(rows):
-                # vectorized ELL fill: each nonzero lands at
-                # (its column, its within-column offset)
-                col_ids = np.repeat(
-                    np.arange(self.N, dtype=np.int64), counts
-                )
-                offs = np.arange(len(rows), dtype=np.int64) - np.repeat(
-                    indptr[:-1].astype(np.int64), counts
-                )
-                ell_rows[col_ids, offs] = rows
-                ell_vals[col_ids, offs] = vals
+        ell_rows, ell_vals = ell_fill_host(
+            rows, vals, indptr, self.k_max, val_dtype, self.N
+        )
         self.ell_rows = jnp.asarray(ell_rows)
         self.ell_vals = jnp.asarray(ell_vals)
 

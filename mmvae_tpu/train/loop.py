@@ -1208,6 +1208,12 @@ def train_vae_model(
     Recording epochs collect the per-batch latent posteriors as scan
     outputs, which the recorder ingests in one fetch.
 
+    ``feature_perm_apply``: hook for models whose D-indexed state lives
+    outside the params tree (the mixture's label matrix).  Called with
+    the gene permutation when feature clustering engages, and called
+    AGAIN with the inverse permutation at loop exit, so the caller's
+    state is back in input order when this function returns.
+
     Returns (trained params, per-epoch mean loss vector).
     """
     ntot = data_block.ntot()
@@ -1303,6 +1309,11 @@ def train_vae_model(
         and ntot % B_global == 0
         and B_global % mesh.shape["data"] == 0
     )
+    # set when the rotating tier was auto-enabled because the data
+    # exceeds MMVAE_ONDEVICE_BYTES: the loader below must then tier on
+    # the SAME budget, or a dataset between the two env budgets would
+    # load fully resident despite the log promising rotation
+    auto_rotate_budget = None
     if not ondevice and getattr(opt, "auto_ondevice", False) and (
         mesh is None or dp_ondevice_ok or tp_ondevice_ok
     ):
@@ -1336,6 +1347,7 @@ def train_vae_model(
                      f"{budget / 1e6:,.0f} MB resident budget; "
                      "--no_auto_ondevice or MMVAE_ROTATE=0 to disable)")
                 ondevice = True
+                auto_rotate_budget = budget
 
     epoch_runner = None
     if ondevice and mesh is not None:
@@ -1410,6 +1422,8 @@ def train_vae_model(
         dense_bytes = ntot * data_mem.nfeature() * vd.itemsize
         ell_bytes = ntot * data_mem.k_max() * (4 + vd.itemsize)
         dense_budget = int(os.environ.get("MMVAE_DENSE_BYTES", 6 << 30))
+        if auto_rotate_budget is not None:
+            dense_budget = min(dense_budget, auto_rotate_budget)
         covar_csc = None
         covar_dim = covar_block.nfeature()
         if not _is_all_ones(covar_block):
@@ -1437,7 +1451,12 @@ def train_vae_model(
             # to input order.  Trajectories shift by reassociation
             # only (golden-band validated).
             if (feature_perm and data_dense is not None
-                    and os.environ.get("MMVAE_FEATURE_PERM", "1") != "0"):
+                    and os.environ.get("MMVAE_FEATURE_PERM", "1") != "0"
+                    # _permute_d_axes permutes every axis of size D: a
+                    # covariate matrix with exactly D columns would get
+                    # its (unpermuted-data-facing) weight axis permuted
+                    # too — skip clustering in that degenerate overlap
+                    and covar_dim != data_mem.nfeature()):
                 from ..ops.nb_step import _use_kernel
                 Df = data_mem.nfeature()
                 forced = os.environ.get("MMVAE_FEATURE_PERM") == "force"
@@ -1481,16 +1500,21 @@ def train_vae_model(
             # next shard's transfer double-buffered behind compute.
             from ..data.shards import ShardStore
 
-            # shards at ~budget/8 so the two rotating double-buffers
-            # are a small HBM tax; everything else of the budget PINS
-            # shards permanently — per-epoch H2D pays only for the
-            # overflow beyond HBM, not the whole dataset
+            # shards at ~budget/8 so the rotating buffers are a small
+            # HBM tax; everything else of the budget PINS shards
+            # permanently — per-epoch H2D pays only for the overflow
+            # beyond HBM, not the whole dataset.  Reserve THREE shard
+            # slots: at the prefetch point the loop holds the previous
+            # shard (compute possibly still queued), the current
+            # shard, and the next shard's in-flight transfer
+            # (make_rotating_epoch's rot_reps backpressure frees the
+            # one before that).
             shard_env = os.environ.get("MMVAE_SHARD_BYTES")
             shard_budget = (int(shard_env) if shard_env
                             else max(64 << 20, dense_budget // 8))
             pin_env = os.environ.get("MMVAE_PIN_BYTES")
             pin_budget = (int(pin_env) if pin_env
-                          else max(0, dense_budget - 2 * shard_budget))
+                          else max(0, dense_budget - 3 * shard_budget))
             store = ShardStore.build(data_mem, B,
                                      shard_budget=shard_budget,
                                      pin_budget=pin_budget)
@@ -1782,6 +1806,12 @@ def train_vae_model(
         _drain_deferred()  # safety net: epoch==max_epoch-1 already drains
         if recorder is not None and hasattr(recorder, "flush"):
             recorder.flush()  # join background artifact writes
+        if _fperm["inv"] is not None and feature_perm_apply is not None:
+            # restore the caller's D-indexed external state (the
+            # mixture's label matrix, fast-step caches) to input gene
+            # order — without this, a second train on the same model
+            # object would permute on top of an already-permuted label
+            feature_perm_apply(np.asarray(_fperm["inv"]))
     TLOG("Done training")
     return _unperm(params), loss_vec
 
@@ -1790,9 +1820,11 @@ def _permute_d_axes(tree, perm_dev, D: int):
     """Permute every axis of size ``D`` in every array leaf.
 
     The shape rule is safe for the feature permutation's D >= 512 gate:
-    no other model dimension (latents, batch, covariates, stacked-row
-    counts) reaches it.  Used by the feature-clustering permutation and
-    its inverse (artifact/checkpoint canonicalization)."""
+    no model dimension (latents, batch, stacked-row counts) reaches it,
+    and the clustering gate skips datasets whose covariate count equals
+    D (the one user-controlled dimension that could collide).  Used by
+    the feature-clustering permutation and its inverse
+    (artifact/checkpoint canonicalization)."""
     def f(leaf):
         if not hasattr(leaf, "shape"):
             return leaf

@@ -53,7 +53,7 @@ def _run_multihost_pair(build, timeout=560, attempts=3):
             return outs
         last = outs
         flake = any(m in o for o in outs for m in _INIT_FLAKE_MARKERS)
-        if not flake:
+        if not flake or attempt == attempts - 1:
             break
         sys.stderr.write(
             f"[multihost] init flake, retry {attempt + 1}/{attempts - 1}\n"

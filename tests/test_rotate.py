@@ -273,10 +273,14 @@ def test_rotation_recording_matches_resident(setup, monkeypatch, tmp_path):
 def test_auto_enable_routes_beyond_budget_to_rotation(setup, monkeypatch,
                                                       capsys):
     """auto_ondevice over MMVAE_ONDEVICE_BYTES must pick the rotating
-    tier (not the 20x-slower host streaming loop)."""
+    tier (not the 20x-slower host streaming loop) — WITHOUT the user
+    also lowering MMVAE_DENSE_BYTES: the loader must tier on the same
+    budget the auto-enable gate used, or a dataset between the two
+    budgets would load fully resident despite the log promising
+    rotation (round-5 review finding)."""
     data, covar, model = setup
     monkeypatch.setenv("MMVAE_ONDEVICE_BYTES", "1")
-    monkeypatch.setenv("MMVAE_DENSE_BYTES", "1")
+    monkeypatch.delenv("MMVAE_DENSE_BYTES", raising=False)
     monkeypatch.setenv("MMVAE_SHARD_BYTES", "2000")
     topt = TrainingOptions(nboot=2, max_epoch=2, recording=100,
                            superbatch=3, seed=0, auto_ondevice=True)
@@ -290,3 +294,38 @@ def test_auto_enable_routes_beyond_budget_to_rotation(setup, monkeypatch,
     assert len(losses) == 2
     err = capsys.readouterr().err
     assert "Rotating" in err and "host-resident shards" in err
+
+
+def test_native_csr_fill_matches_numpy():
+    """mmvae_csr_fill (one native pass) must reproduce _csr_fill_np
+    bit-for-bit, including the wrap-around schedule, sentinel padding,
+    and every dtype combination the store can choose."""
+    from mmvae_tpu.data.shards import _csr_fill_np
+    from mmvae_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    rng = np.random.default_rng(7)
+    D, ntot, B = 40, 26, 8
+    dens = (rng.random((D, ntot)) < 0.3) * rng.integers(
+        1, 100, (D, ntot))
+    rr, cc = np.nonzero(dens)
+    order = np.argsort(cc, kind="stable")
+    rr, cc = rr[order], cc[order]
+    vals = dens[rr, cc].astype(np.float32)
+    indptr = np.searchsorted(cc, np.arange(ntot + 1)).astype(np.int64)
+    rows = rr.astype(np.int32)
+    nbatch = -(-ntot // B)
+    ids = np.arange(nbatch * B, dtype=np.int64) % ntot
+    counts = np.diff(indptr)
+    nnz_pad = int(counts[ids].reshape(nbatch, B).sum(axis=1).max()) + 3
+    for rbd, cid, vd in [(np.int8, np.int16, np.int8),
+                         (np.int16, np.int32, np.float32),
+                         (np.int8, np.int32, np.int16)]:
+        a = _csr_fill_np(rows, vals, indptr, ids, B, nnz_pad, rbd,
+                         cid, vd)
+        b = native.csr_fill(rows, vals, indptr, ids, B, nnz_pad, rbd,
+                            cid, vd)
+        for x, y in zip(a, b):
+            assert x.dtype == y.dtype
+            np.testing.assert_array_equal(x, y)
