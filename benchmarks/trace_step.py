@@ -159,15 +159,31 @@ def summarize(out_dir: str, nbatch: int):
                 dev_pids.add(e.get("pid"))
     tot = defaultdict(float)
     cnt = defaultdict(int)
+
+    def is_envelope(nm: str) -> bool:
+        # the profiler emits NESTED X events: whole-dispatch envelopes
+        # (jit_*), scan bodies (while*), and bare-number grouping lanes
+        # enclose the leaf op events — summing them double-counts every
+        # leaf ~4x (caught in round 5 when the nb total read 2394.6
+        # us/batch against the known 598.6)
+        return (nm.startswith("jit_") or nm.startswith("while")
+                or nm.isdigit())
+
     for e in evs:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
             nm = e.get("name", "?")
             tot[nm] += e.get("dur", 0.0)
             cnt[nm] += 1
-    rows = sorted(tot.items(), key=lambda kv: -kv[1])
-    total = sum(tot.values())
-    print(f"\ndevice total {total / 1e3:.2f} ms over {nbatch} batches "
-          f"({total / nbatch:.1f} us/batch)\n")
+    env = {nm: us for nm, us in tot.items() if nm.startswith("jit_")}
+    rows = sorted(((nm, us) for nm, us in tot.items()
+                   if not is_envelope(nm)), key=lambda kv: -kv[1])
+    total = sum(us for _, us in rows)
+    if env:
+        nm, us = max(env.items(), key=lambda kv: kv[1])
+        print(f"\ndispatch envelope {nm[:60]}: "
+              f"{us / nbatch:.1f} us/batch (the step's device time)")
+    print(f"device leaf-op total {total / 1e3:.2f} ms over {nbatch} "
+          f"batches ({total / nbatch:.1f} us/batch)\n")
     print(f"{'us/batch':>9}  {'count':>6}  op")
     for nm, us in rows[:45]:
         print(f"{us / nbatch:9.2f}  {cnt[nm]:6d}  {nm[:90]}")

@@ -276,6 +276,17 @@ def main(argv=None) -> int:
             )
             data_dense = jax.device_put(
                 data_dense, NamedSharding(mesh, P("data", "model")))
+            # pin params on device in their TP layout BEFORE the timed
+            # call: the AOT executable would otherwise transfer the
+            # host numpy leaves synchronously per invocation (measured
+            # ~20 s over a tunneled device vs 0.14 s device-resident)
+            params = jax.device_put(
+                params,
+                jax.tree_util.tree_map(
+                    lambda s: NamedSharding(mesh, s),
+                    model.tp_pspecs(params),
+                    is_leaf=lambda x: isinstance(x, P)),
+            )
             compiled = jax.jit(sweep_sh).lower(
                 params, data_dense).compile()
         else:
@@ -290,6 +301,14 @@ def main(argv=None) -> int:
 
                 return jax.lax.map(body, jnp.arange(nbatch))
 
+            # device-resident params before the timed call (see the TP
+            # branch note: host numpy args stall the AOT executable on
+            # per-invocation synchronous transfers over remote devices).
+            # NOTE: block_until_ready hangs over tunneled devices
+            # (CLAUDE.md) — force with tiny fetches instead.
+            params = jax.device_put(params)
+            jax.tree_util.tree_map(
+                lambda a: np.asarray(a.ravel()[:1]), params)
             compiled = jax.jit(sweep).lower(params, data_dense).compile()
         # ONE dispatch for the whole dataset, one fetch per output —
         # the exact shape of a training epoch's recording scan.  AOT
